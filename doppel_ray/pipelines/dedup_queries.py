@@ -1,0 +1,138 @@
+"""Dedup pipelines over the driver-provided ``documents`` table, each with a
+DuckDB oracle (see FIXTURES.md §4). ``size`` is always the UTF-8 **byte**
+length (DuckDB ``strlen``), matching the reference's file-size semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from doppel_ray.pipelines import finalize, query
+from doppel_ray.sources.parquet import read_documents
+from doppel_ray.stages import exact, hashes
+
+
+@query(
+    "exact_dup_groups",
+    """
+    SELECT min(doc_id) AS group_id,
+           count(*) AS cnt,
+           min(strlen(text)) AS size,
+           min(strlen(text)) * (count(*) - 1) AS wasted_space
+    FROM documents
+    GROUP BY text
+    HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups(sf_dir: str):
+    """Reference G4: group-by full content hash -> DuplicateGroup rows
+    (finder.go:114-145), via the size->quick->full cascade."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    groups = exact.exact_duplicate_groups(ds, id_col="doc_id")
+    out = groups.drop_columns(["files"]).rename_columns({"count": "cnt"})
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("group_id", pa.int64()),
+                ("cnt", pa.int64()),
+                ("size", pa.int64()),
+                ("wasted_space", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "size_groups",
+    """
+    SELECT strlen(text) AS size, count(*) AS cnt
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def size_groups(sf_dir: str):
+    """Reference G1+G2: group-by size, keep groups with >=2 members
+    (scanner.go:94, finder.go:47-58)."""
+    ds = read_documents(sf_dir, columns=["text"])
+    ds = hashes.add_size(ds).select_columns(["size"])
+    counts = ds.groupby("size").aggregate(Count(alias_name="cnt"))
+    return finalize(
+        counts.filter(expr="cnt > 1"),
+        pa.schema([("size", pa.int64()), ("cnt", pa.int64())]),
+    )
+
+
+@query(
+    "dedup_keep_first",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_keep_first(sf_dir: str):
+    """Training-data exact dedup: one representative (min doc_id) per
+    distinct text."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return exact.dedup_keep_first(ds, id_col="doc_id")
+
+
+@query(
+    "quick_hash_groups",
+    """
+    SELECT min(doc_id) AS group_id, count(*) AS cnt
+    FROM documents
+    GROUP BY text
+    HAVING count(*) > 1
+    """,
+)
+def quick_hash_groups(sf_dir: str):
+    """Reference G3: group-by sampled quick hash, HAVING count>1
+    (finder.go:84-96). Oracle note: every sf document is far below the
+    8 KiB sampling window, so the quick hash covers the whole text and
+    quick-hash groups coincide exactly with group-by-text — which makes
+    the semantics SQL-checkable (collision probability ~n^2/2^64 aside).
+    """
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    ds = hashes.add_quick_hash(ds).select_columns(["doc_id", "quick_hash"])
+    grouped = ds.groupby("quick_hash").aggregate(
+        Min("doc_id", alias_name="group_id"), Count(alias_name="cnt")
+    )
+    out = grouped.filter(expr="cnt > 1").select_columns(["group_id", "cnt"])
+    return finalize(
+        out, pa.schema([("group_id", pa.int64()), ("cnt", pa.int64())])
+    )
+
+
+@query(
+    "dedup_stats",
+    """
+    SELECT count(*) AS total_files,
+           count(DISTINCT text) AS distinct_texts,
+           count(*) - count(DISTINCT text) AS duplicate_files
+    FROM documents
+    """,
+)
+def dedup_stats(sf_dir: str):
+    """Reference G5 global stats counters (model/model.go:51-78), reduced
+    to the corpus analogs."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    total = ds.count()
+    distinct = exact.dedup_keep_first(ds, id_col="doc_id").count()
+    return pd.DataFrame(
+        {
+            "total_files": [total],
+            "distinct_texts": [distinct],
+            "duplicate_files": [total - distinct],
+        }
+    )
+
+
+@query(
+    "lang_counts",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+)
+def lang_counts(sf_dir: str):
+    """Plain grouped aggregate (groupby shuffle smoke check)."""
+    ds = read_documents(sf_dir, columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))

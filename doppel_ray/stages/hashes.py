@@ -1,0 +1,69 @@
+"""Hash-column stages: Dataset -> Dataset transforms adding size / quick /
+full content hash columns.
+
+These are the Ray-Data re-expressions of the reference's worker pools
+(reference internal/finder/finder.go:149-269 ``quickHash`` / ``fullHash``):
+instead of hand-rolled goroutine pools with buffered channels, each stage is
+a vectorized ``map_batches`` over zero-copy Arrow batches and the streaming
+executor provides the parallelism, pipelining and backpressure. Hashers
+here are cheap to construct (no model/regex state), so stateless task pools
+are used; stages with real per-actor state (MinHash permutation matrices,
+suffix-array builders) live in their own modules as callable classes.
+
+Per-row error policy mirrors the reference (finder.go:168-172): a row that
+fails to hash is tagged, counted, and dropped — here a null/empty hash is
+filtered downstream rather than aborting the job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from doppel_ray.functions import hashing
+
+
+def _append(batch: pa.Table, name: str, arr) -> pa.Table:
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, arr)
+
+
+def add_size(ds: Dataset, text_col: str = "text", out_col: str = "size") -> Dataset:
+    """Append ``size`` = UTF-8 byte length of ``text_col`` (int64).
+
+    The corpus analog of the reference's file-size grouping key
+    (reference internal/scanner/scanner.go:94).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _append(batch, out_col, pa.array(hashing.byte_lengths(batch[text_col])))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_quick_hash(ds: Dataset, text_col: str = "text", out_col: str = "quick_hash") -> Dataset:
+    """Append 64-bit sampled quick hash (first/last 8 KiB windows;
+    reference internal/scanner/hasher.go:46-92)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = hashing.quick_hash(batch[text_col])
+        # carry as int64 (bit-reinterpreted): uint64 values above 2^63 turn
+        # into Python ints outside int64 range in groupby/aggregate paths and
+        # get pickled into extension arrays — int64 keeps the fast path.
+        return _append(batch, out_col, pa.array(h.view(np.int64), type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_content_hash(ds: Dataset, text_col: str = "text", out_col: str = "content_hash") -> Dataset:
+    """Append full-content 128-bit hash hex string (reference
+    internal/scanner/hasher.go:22-42, BLAKE3 there / BLAKE2b here)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = hashing.content_hash(batch[text_col])
+        return _append(batch, out_col, pa.array(h, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

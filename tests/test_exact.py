@@ -1,0 +1,129 @@
+"""Exact-dedup cascade tests, mirroring the reference's canonical duplicate
+fixtures (reference internal/finder/finder_test.go:17-182): 3 copies of A +
+2 copies of B + 1 unique => exactly 2 groups with counts {3,2}; edge cases
+no-dups/all-dups/single/empty; plus the brute-force oracle over the full
+synthetic corpus. Conformance = set-of-sets group membership, never group
+ids or order (finder_test.go:91-131; SURVEY.md G4)."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from doppel_ray.stages import exact
+
+
+def _pages(texts: list[str]) -> rd.Dataset:
+    n = len(texts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": [f"u://{i}" for i in range(n)],
+                "text": pa.array(texts, type=pa.large_string()),
+            }
+        )
+    )
+
+
+def _memberships(groups: list[dict]) -> set[frozenset]:
+    return {frozenset(g["files"]) for g in groups}
+
+
+class TestCanonicalFixture:
+    # reference finder_test.go:33-73 shape
+    TEXTS = ["AAAA", "AAAA", "AAAA", "BB", "BB", "unique content"]
+
+    def test_two_groups(self):
+        groups = exact.exact_duplicate_groups(_pages(self.TEXTS)).take_all()
+        assert sorted(g["count"] for g in groups) == [2, 3]
+        ms = _memberships(groups)
+        assert frozenset({"u://0", "u://1", "u://2"}) in ms
+        assert frozenset({"u://3", "u://4"}) in ms
+
+    def test_group_fields(self):
+        groups = exact.exact_duplicate_groups(_pages(self.TEXTS)).take_all()
+        g3 = next(g for g in groups if g["count"] == 3)
+        assert g3["group_id"] == "u://0"  # min url, stable
+        assert g3["size"] == 4
+        assert g3["wasted_space"] == 8  # size*(count-1), finder.go:127-130
+        assert g3["files"] == ["u://0", "u://1", "u://2"]
+
+    def test_no_duplicates(self):
+        groups = exact.exact_duplicate_groups(_pages(["a", "b", "c"])).take_all()
+        assert groups == []
+
+    def test_all_duplicates(self):
+        groups = exact.exact_duplicate_groups(_pages(["z"] * 4)).take_all()
+        assert len(groups) == 1 and groups[0]["count"] == 4
+
+    def test_single_row(self):
+        assert exact.exact_duplicate_groups(_pages(["only"])).take_all() == []
+
+    def test_same_size_different_content(self):
+        # same length => survives size prune, separated by hashes
+        groups = exact.exact_duplicate_groups(_pages(["abcd", "wxyz"])).take_all()
+        assert groups == []
+
+    def test_empty_texts_group_together(self):
+        # size<=0 => quick hash 0 (hasher.go:47-49); still grouped as dups
+        groups = exact.exact_duplicate_groups(_pages(["", "", "x"])).take_all()
+        assert len(groups) == 1
+        assert groups[0]["count"] == 2 and groups[0]["size"] == 0
+
+
+class TestAgainstOracle:
+    def test_matches_bruteforce_on_synth_corpus(self, synth_corpus, pages_ds):
+        # oracle: group rows by exact text bytes
+        by_text = collections.defaultdict(list)
+        urls = synth_corpus.pages["url"].to_pylist()
+        texts = synth_corpus.pages["text"].to_pylist()
+        for u, t in zip(urls, texts):
+            by_text[t].append(u)
+        want = {frozenset(v) for v in by_text.values() if len(v) > 1}
+
+        groups = exact.exact_duplicate_groups(pages_ds).take_all()
+        assert _memberships(groups) == want
+        # planted cluster sizes all present (FIXTURES.md: {2,3,5,50}+skew)
+        counts = sorted(g["count"] for g in groups)
+        for planted in (2, 3, 5, 50):
+            assert planted in counts
+
+    def test_cascade_equals_no_cascade(self, pages_ds):
+        a = exact.exact_duplicate_groups(pages_ds, cascade=True).take_all()
+        b = exact.exact_duplicate_groups(pages_ds, cascade=False).take_all()
+        assert _memberships(a) == _memberships(b)
+
+    def test_determinism_two_runs(self, pages_ds):
+        a = exact.exact_duplicate_groups(pages_ds).take_all()
+        b = exact.exact_duplicate_groups(pages_ds).take_all()
+        key = lambda g: g["group_id"]
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+
+class TestKeepFirst:
+    def test_keeps_min_id_per_text(self):
+        ds = _pages(["a", "b", "a", "a", "c"])
+        kept = sorted(r["url"] for r in exact.dedup_keep_first(ds).take_all())
+        assert kept == ["u://0", "u://1", "u://4"]
+
+
+class TestTextPassThrough:
+    def test_text_byte_identity(self, synth_corpus, pages_ds):
+        """North-rule invariant: text passes through the hash stages
+        byte-identical per url (no unicode/pandas round-trip damage)."""
+        from doppel_ray.stages import hashes
+
+        ds = hashes.add_content_hash(
+            hashes.add_quick_hash(hashes.add_size(pages_ds))
+        )
+        out = {r["url"]: r["text"] for r in ds.select_columns(["url", "text"]).take_all()}
+        want = dict(
+            zip(
+                synth_corpus.pages["url"].to_pylist(),
+                synth_corpus.pages["text"].to_pylist(),
+            )
+        )
+        assert out == want

@@ -1,0 +1,98 @@
+"""Driver-style correctness gate, run locally: every ``queries()`` entry
+with an ``oracle_sql()`` counterpart is executed at sf0.001 and compared
+against DuckDB on row count, sorted column names, and order-insensitive
+values (the same comparison shape the driver applies at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def _pairs():
+    from doppel_ray import pipelines
+
+    reg = pipelines.registry()
+    orc = pipelines.oracles()
+    return [(name, reg[name], orc[name]) for name in sorted(orc)]
+
+
+@pytest.mark.parametrize("name", [p[0] for p in _pairs()])
+def test_query_matches_oracle(name, con):
+    from doppel_ray import pipelines
+
+    fn = pipelines.registry()[name]
+    sql = pipelines.oracles()[name]
+    got = _canon(_to_pandas(fn(SF_DIR)))
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    # order-insensitive value equality (numeric tolerance for floats)
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]) or pd.api.types.is_float_dtype(want[c]):
+            pd.testing.assert_series_equal(
+                got[c].astype(float), want[c].astype(float),
+                check_names=False, rtol=1e-9, atol=1e-12,
+            )
+        else:
+            assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), (
+                f"{name}: column {c} differs"
+            )
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert list(df.columns)
+
+
+def test_every_query_runs():
+    from doppel_ray import pipelines
+
+    for name, fn in pipelines.registry().items():
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None, name
