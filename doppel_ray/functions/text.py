@@ -1,0 +1,189 @@
+"""Vectorized text kernels: normalization, shingle hashing, MinHash
+signatures, SimHash. Pure numpy/pandas/pyarrow — no Ray.
+
+These stages have no counterpart in the reference (a whole-file hasher);
+they generalize its cheap-invariant -> cheap-hash -> full-hash cascade
+(reference internal/finder/finder.go:44-146) to *near*-duplicate detection
+as mandated by the north rule. Algorithms are the published standards:
+MinHash (Broder 1997, "On the resemblance and containment of documents"),
+LSH banding (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3),
+SimHash (Charikar 2002).
+
+Design notes (hot path, called from map_batches):
+- Shingling + MinHash is ONE numpy pass over the batch's concatenated
+  UTF-8 bytes: docs are joined with 0xFF separators (0xFF never occurs in
+  valid UTF-8), char-n-gram windows come from ``sliding_window_view``, a
+  polynomial rolling hash vectorizes over all windows, and per-doc minima
+  use ``np.minimum.reduceat`` — no Python loop over rows or shingles.
+- Permutations are multiply-add maps x -> a*x + b (mod 2^64) with odd
+  ``a``: exact bijections of Z_2^64, the textbook MinHash permutation
+  family, computed with natural uint64 wraparound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_POLY = np.uint64(1099511628211)  # FNV-64 prime as rolling-hash base
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def normalize_texts(arr: pa.Array | pa.ChunkedArray) -> pd.Series:
+    """Dedup-normalization: lowercase + collapse whitespace runs + strip.
+
+    Used ONLY for shingling/signatures; the corpus ``text`` column itself
+    passes through byte-identical (north-rule invariant).
+    """
+    low = pc.utf8_lower(arr)
+    s = low.to_pandas()
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def make_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multiply-add permutation parameters; ``a`` odd (bijective)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _concat_docs(byte_docs: list[bytes], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Join docs (each padded to >= n bytes) with n 0xFF separator bytes.
+
+    Returns (buffer uint8 array, per-doc padded lengths)."""
+    padded = [d if len(d) >= n else d.ljust(n, b"\x00") for d in byte_docs]
+    lens = np.fromiter((len(d) for d in padded), count=len(padded), dtype=np.int64)
+    blob = (b"\xff" * n).join(padded)
+    return np.frombuffer(blob, dtype=np.uint8), lens
+
+
+def shingle_hashes(byte_docs: list[bytes], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit rolling hashes of every char-n-gram of every doc.
+
+    Returns (hashes, doc_offsets): ``hashes`` is the concatenation of each
+    doc's shingle hashes (multiset, not deduped — min() is unaffected);
+    ``doc_offsets[i]`` is the start of doc i's slice (len == n_docs,
+    offsets[i+1] or len(hashes) ends it). Empty/short docs are padded to
+    one shingle.
+    """
+    if not byte_docs:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    buf, lens = _concat_docs(byte_docs, n)
+    if len(buf) < n:
+        buf = np.pad(buf, (0, n - len(buf)))
+    windows = np.lib.stride_tricks.sliding_window_view(buf, n)
+    powers = _POLY ** np.arange(n - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        hashes_all = (windows.astype(np.uint64) * powers).sum(
+            axis=1, dtype=np.uint64
+        )
+    # windows overlapping a 0xFF separator are invalid
+    isff = (buf == 0xFF).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(isff)])
+    contains_sep = (cs[n:] - cs[:-n]) > 0
+    valid = hashes_all[~contains_sep]
+    counts = lens - n + 1  # valid windows per doc (>=1 by padding)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    return valid, offsets
+
+
+def minhash_from_shingles(
+    hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature matrix (n_docs x num_perm, uint64) via
+    ``np.minimum.reduceat`` per permutation — vectorized across all docs."""
+    num_perm = len(a)
+    n_docs = len(offsets)
+    sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if n_docs == 0:
+        return sigs
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            y = a[j] * hashes + b[j]
+            sigs[:, j] = np.minimum.reduceat(y, offsets)
+    return sigs
+
+
+def minhash_signatures(
+    byte_docs: list[bytes], n: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    hashes, offsets = shingle_hashes(byte_docs, n)
+    return minhash_from_shingles(hashes, offsets, a, b)
+
+
+def band_keys(sigs: np.ndarray, bands: int, seed: int = 0) -> np.ndarray:
+    """Fold each signature band into one int64 LSH key (n_docs x bands).
+
+    The band index is mixed into the key, so a single-column groupby on the
+    flattened keys partitions by (band_id, band_hash) jointly.
+    """
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // bands
+    assert bands * rows == num_perm, "num_perm must be divisible by bands"
+    view = sigs[:, : bands * rows].reshape(n_docs, bands, rows)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros((n_docs, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ view[:, :, r]) * mult
+            acc ^= acc >> np.uint64(29)
+        band_ids = (np.arange(bands, dtype=np.uint64) + np.uint64(seed)) * mult
+        acc = (acc ^ band_ids[None, :]) * mult
+        acc ^= acc >> np.uint64(31)
+    return acc.view(np.int64)
+
+
+def exact_jaccard(set_a: np.ndarray, set_b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique shingle-hash arrays."""
+    if len(set_a) == 0 and len(set_b) == 0:
+        return 1.0
+    inter = np.intersect1d(set_a, set_b, assume_unique=True).size
+    union = set_a.size + set_b.size - inter
+    return inter / union if union else 1.0
+
+
+def unique_shingles(byte_docs: list[bytes], n: int) -> list[np.ndarray]:
+    """Sorted-unique shingle-hash set per doc (for exact verification)."""
+    hashes, offsets = shingle_hashes(byte_docs, n)
+    ends = np.concatenate([offsets[1:], [len(hashes)]])
+    return [np.unique(hashes[s:e]) for s, e in zip(offsets, ends)]
+
+
+# ---------------------------------------------------------------- SimHash
+
+_TOKEN_RE = r"\S+"
+
+
+def simhash_signatures(texts: pd.Series, hash_key: str = "doppelray.simh.!") -> np.ndarray:
+    """64-bit SimHash per doc (Charikar 2002): token-hash bit votes weighted
+    by token frequency; vectorized via one exploded token Series + reduceat.
+    """
+    toks = texts.str.findall(_TOKEN_RE)
+    counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = toks.explode().dropna()
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat) == 0:
+        return out.view(np.int64)
+    th = pd.util.hash_pandas_object(flat, index=False, hash_key=hash_key).to_numpy()
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1,+1}
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    nonzero = counts > 0
+    # reduceat over token rows per doc; docs with 0 tokens get garbage rows
+    # from reduceat semantics -> masked to 0 after.
+    safe_offsets = np.minimum(offsets, max(len(flat) - 1, 0))
+    sums = np.add.reduceat(votes, safe_offsets, axis=0)
+    sig_bits = (sums > 0).astype(np.uint8)
+    packed = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+    packed = np.where(nonzero, packed, np.uint64(0))
+    return packed.view(np.int64)
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR for int64/uint64 arrays."""
+    x = (a.view(np.uint64) ^ b.view(np.uint64)).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)

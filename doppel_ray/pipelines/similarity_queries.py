@@ -1,0 +1,117 @@
+"""Near-duplicate queries over the driver-provided ``documents`` table.
+
+The LSH machinery itself is not SQL-expressible; ``near_dup_pairs_exact``
+pins it to a SQL oracle by running at threshold=1.0 without normalization,
+where exact-Jaccard == 1 over char-shingle sets coincides with identical
+text for this corpus (an identical-text self-join in SQL). The other
+entries are rows-only checks (driver records the weaker gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from doppel_ray.pipelines import finalize, query
+from doppel_ray.sources.parquet import read_documents
+from doppel_ray.stages import cluster, minhash
+
+
+def _docs_as_pages(sf_dir: str):
+    """documents -> (url, text) with zero-padded ids so string order ==
+    numeric order (stable pair orientation and cluster labels)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"{i:012d}" for i in ids]),
+                "text": batch["text"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("similarity", pa.float64())]
+)
+
+
+@query(
+    "near_dup_pairs_exact",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS similarity
+    FROM documents a JOIN documents b
+      ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def near_dup_pairs_exact(sf_dir: str):
+    """Full MinHash->LSH->verify pipeline at threshold 1.0 (no
+    normalization): must recover exactly the identical-text pairs."""
+    ds = _docs_as_pages(sf_dir)
+    cfg = minhash.MinHashConfig(threshold=1.0, normalize=False, verify_mode="exact")
+    edges = minhash.near_dup_edges(ds, cfg)
+    rows = edges.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
+            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
+            "similarity": pa.array([r["similarity"] for r in rows]),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
+@query("minhash_near_dup")  # rows-only: LSH at tau=0.8 is not SQL-expressible
+def minhash_near_dup(sf_dir: str):
+    """Standard near-dedup config (tau=0.8, normalized shingles)."""
+    ds = _docs_as_pages(sf_dir)
+    edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
+    rows = edges.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
+            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
+            "similarity": pa.array([r["similarity"] for r in rows]),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
+@query(
+    "dup_clusters",
+    """
+    SELECT count(*) AS cluster_size, min(doc_id) AS cluster_id
+    FROM documents
+    GROUP BY text
+    HAVING count(*) > 1
+    """,
+)
+def dup_clusters(sf_dir: str):
+    """Connected components over verified exact-dup edges (threshold 1.0):
+    component sizes+labels must equal identical-text group sizes+min-ids
+    (texts are transitively equal, so components == groups)."""
+    ds = _docs_as_pages(sf_dir)
+    cfg = minhash.MinHashConfig(threshold=1.0, normalize=False, verify_mode="exact")
+    edges = minhash.near_dup_edges(ds, cfg)
+    labels = cluster.cluster_edges(edges)
+    if not labels:
+        return pa.table(
+            {
+                "cluster_size": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+            }
+        )
+    sizes: dict[str, int] = {}
+    for u, c in labels.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    items = sorted(sizes.items())
+    return pa.table(
+        {
+            "cluster_size": pa.array([v for _, v in items], type=pa.int64()),
+            "cluster_id": pa.array([int(k) for k, _ in items], type=pa.int64()),
+        }
+    )

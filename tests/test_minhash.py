@@ -1,0 +1,164 @@
+"""MinHash/LSH near-dedup tests: kernel contracts, the dup-pair recall
+harness vs the brute-force exact-Jaccard oracle (north rule: recall >=
+0.99 at the same shingle/signature config), hot-band capping, and
+clustering equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from doppel_ray.functions import text as T
+from doppel_ray.stages import cluster, minhash
+from doppel_ray.state.unionfind import UnionFind
+
+CFG = minhash.MinHashConfig()
+
+
+def _truth_pairs(pages: pa.Table, threshold: float) -> set[tuple[str, str]]:
+    """Brute-force all-pairs exact Jaccard at the pipeline's shingle config."""
+    urls = pages["url"].to_pylist()
+    norm = T.normalize_texts(pages["text"])
+    sh = T.unique_shingles([s.encode() for s in norm], CFG.shingle_n)
+    truth = set()
+    n = len(urls)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if len(sh[i]) == 0 and len(sh[j]) == 0:
+                sim = 1.0
+            else:
+                sim = T.exact_jaccard(sh[i], sh[j])
+            if sim >= threshold:
+                truth.add((min(urls[i], urls[j]), max(urls[i], urls[j])))
+    return truth
+
+
+class TestKernels:
+    def test_signature_estimates_jaccard(self):
+        a, b = T.make_permutations(256, 7)
+        d1 = b"the quick brown fox jumps over the lazy dog and runs away fast"
+        d2 = b"the quick brown fox jumps over the lazy cat and runs away fast"
+        sigs = T.minhash_signatures([d1, d2], 5, a, b)
+        est = (sigs[0] == sigs[1]).mean()
+        sh = T.unique_shingles([d1, d2], 5)
+        true = T.exact_jaccard(sh[0], sh[1])
+        assert abs(est - true) < 0.15
+
+    def test_batch_independence(self):
+        a, b = T.make_permutations(64, 7)
+        docs = [b"alpha beta gamma", b"delta epsilon zeta", b"eta theta iota"]
+        full = T.minhash_signatures(docs, 4, a, b)
+        solo = T.minhash_signatures([docs[1]], 4, a, b)
+        assert (full[1] == solo[0]).all()
+
+    def test_identical_docs_share_all_bands(self):
+        a, b = T.make_permutations(128, 7)
+        sigs = T.minhash_signatures([b"same text here"] * 2, 5, a, b)
+        keys = T.band_keys(sigs, 32)
+        assert (keys[0] == keys[1]).all()
+
+    def test_disjoint_docs_share_no_bands(self):
+        a, b = T.make_permutations(128, 7)
+        sigs = T.minhash_signatures(
+            [b"aaaa bbbb cccc dddd eeee", b"ffff gggg hhhh iiii jjjj"], 5, a, b
+        )
+        keys = T.band_keys(sigs, 32)
+        assert (keys[0] != keys[1]).all()
+
+    def test_empty_and_short_docs(self):
+        a, b = T.make_permutations(32, 7)
+        sigs = T.minhash_signatures([b"", b"ab", b""], 5, a, b)
+        assert (sigs[0] == sigs[2]).all()  # both empty -> same signature
+
+    def test_unique_shingles_sorted_unique(self):
+        sh = T.unique_shingles([b"abababab"], 2)[0]
+        assert (np.diff(sh.view(np.int64)) != 0).all()
+        assert len(sh) == 2  # "ab" and "ba"
+
+
+class TestRecallHarness:
+    """The north-rule acceptance gate at test scale."""
+
+    @pytest.fixture(scope="class")
+    def result(self, synth_corpus, pages_ds):
+        edges = minhash.near_dup_edges(pages_ds, CFG)
+        rows = edges.take_all()
+        truth = _truth_pairs(synth_corpus.pages, CFG.threshold)
+        return rows, truth
+
+    def test_dup_pair_recall_ge_099(self, result):
+        rows, truth = result
+        found = {(r["url_a"], r["url_b"]) for r in rows}
+        assert len(truth) > 1000  # fixture really exercises the gate
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.99, f"recall {recall:.4f}"
+
+    def test_precision_is_exact(self, result):
+        # verification computes exact Jaccard -> no false positives
+        rows, truth = result
+        found = {(r["url_a"], r["url_b"]) for r in rows}
+        assert found <= truth
+
+    def test_similarity_values_verified(self, result):
+        rows, _ = result
+        assert all(r["similarity"] >= CFG.threshold for r in rows)
+        assert all(r["kind"] == "minhash" for r in rows)
+
+
+class TestHotBandCapping:
+    def test_capped_band_stays_connected_and_reports_drops(self, pages_ds):
+        cfg = minhash.MinHashConfig(band_cap=5)
+        pairs = minhash.candidate_pairs(pages_ds, cfg)
+        tbl = pairs.take_all()
+        dropped = sum(r["dropped"] for r in tbl)
+        assert dropped > 0  # the 50-copy cluster exceeded the cap
+        # ring emission keeps every capped component connected:
+        uf = UnionFind()
+        uf.add_edges((r["url_a"], r["url_b"]) for r in tbl)
+        comp = uf.components()
+        dup50 = [u for u in comp[uf.find("https://dup3.example/copy/0")]]
+        assert len([u for u in dup50 if u.startswith("https://dup3.example/")]) == 50
+
+
+class TestUnionFind:
+    def test_basic(self):
+        uf = UnionFind()
+        uf.add_edges([("a", "b"), ("b", "c"), ("x", "y")])
+        assert uf.find("a") == uf.find("c") != uf.find("x")
+        labels = uf.labels()
+        assert labels["c"] == "a" and labels["y"] == "x"
+
+    def test_components_sorted(self):
+        uf = UnionFind()
+        uf.add_edges([("q", "p"), ("r", "q")])
+        assert uf.components()[uf.find("p")] == ["p", "q", "r"]
+
+
+class TestClustering:
+    def test_assign_clusters_broadcast(self):
+        ds = rd.from_arrow(
+            pa.table({"url": ["a", "b", "c", "d"], "x": [1, 2, 3, 4]})
+        )
+        out = cluster.assign_clusters(ds, {"b": "a", "a": "a"})
+        got = {r["url"]: r["cluster_id"] for r in out.take_all()}
+        assert got == {"a": "a", "b": "a", "c": "c", "d": "d"}
+
+    def test_distributed_matches_unionfind(self):
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "url_a": ["a", "b", "x", "m"],
+                    "url_b": ["b", "c", "y", "n"],
+                }
+            )
+        )
+        dist = {
+            r["url"]: r["cluster_id"]
+            for r in cluster.cluster_edges_distributed(edges).take_all()
+        }
+        uf = cluster.cluster_edges(edges)
+        assert dist == uf
+        assert dist["c"] == "a" and dist["y"] == "x" and dist["n"] == "m"
