@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline dedup pipelines, one JSON line to stdout.
+
+Default: runs over $GRAFT_SF_DIR (default /root/testdata/sf0.1) documents
+table AND a deterministic ~200k-doc synthetic web-page corpus (generated
+once into /tmp and reused), with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).
+
+--scaling: runs the same bench twice in fresh processes at 8 and 32 CPUs
+on identical input and reports both throughputs + scaling efficiency
+(the sandbox substitute for N vs 4N cluster nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
+BENCH_DIR = f"/tmp/doppel_ray_bench/pages_{BENCH_DOCS}_seed42"
+
+
+def ensure_bench_corpus() -> str:
+    marker = os.path.join(BENCH_DIR, "_COMPLETE")
+    if not os.path.exists(marker):
+        from doppel_ray import synth
+
+        table = synth.generate_bench_corpus(BENCH_DOCS, seed=42)
+        synth.write_corpus(table, BENCH_DIR, n_files=64)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return BENCH_DIR
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from doppel_ray.sources.parquet import read_documents, read_pages
+    from doppel_ray.stages import cluster as cluster_mod
+    from doppel_ray.stages import exact, minhash
+
+    bench_dir = ensure_bench_corpus()
+
+    # warm OS page cache (untimed) so we measure compute+shuffle, not
+    # first-touch disk reads
+    read_pages(bench_dir).count()
+    read_documents(SF_DIR).count()
+
+    queries: dict[str, float] = {}
+    n_pages = 0
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # 1. exact cascade over the driver-provided documents table
+    def q_exact_documents():
+        ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+        return exact.exact_duplicate_groups(ds, id_col="doc_id").count()
+
+    timed("exact_documents", q_exact_documents)
+
+    # 2. near-dup LSH over documents
+    def q_near_documents():
+        ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+
+        def to_pages(b):
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "url": pa.array([f"{i:012d}" for i in b["doc_id"].to_pylist()]),
+                    "text": b["text"],
+                }
+            )
+
+        pages = ds.map_batches(to_pages, batch_format="pyarrow")
+        return minhash.near_dup_edges(pages, minhash.MinHashConfig()).count()
+
+    timed("near_documents", q_near_documents)
+
+    # 3. exact cascade over the 200k synthetic page corpus (headline)
+    def q_exact_pages():
+        nonlocal n_pages
+        ds = read_pages(bench_dir)
+        n_pages = ds.count()
+        return exact.exact_duplicate_groups(ds).count()
+
+    timed("exact_pages", q_exact_pages)
+
+    # 4. near-dup LSH + clustering over the synthetic corpus (headline)
+    def q_near_pages():
+        ds = read_pages(bench_dir)
+        edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
+        labels = cluster_mod.cluster_edges(edges)
+        return len(labels)
+
+    timed("near_pages", q_near_pages)
+
+    total = round(sum(queries.values()), 3)
+    docs_per_sec = round(n_pages / (queries["exact_pages"] + queries["near_pages"]), 1)
+    result = {
+        "metric": "end-to-end dedup wall time (exact cascade + MinHash/LSH near-dup)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": n_pages,
+        "docs_per_sec": docs_per_sec,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same job, fresh ray.init at 8 vs 32 CPUs)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "bench_docs": r_hi["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

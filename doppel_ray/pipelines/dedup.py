@@ -1,0 +1,107 @@
+"""End-to-end duplicate-finding pipelines: the Ray-Data lifecycle of
+``doppel find`` (SURVEY.md §3.1, §3.4).
+
+    config -> read_parquet (pruned columns) -> exclusion filters
+           -> size -> quick-hash -> full-hash cascade (pruned groupbys)
+           -> duplicate groups  [exact]
+           -> MinHash/LSH -> verify -> union-find   [near, optional]
+           -> groups/clusters parquet + driver-side report
+
+The reference's phase structure (scan -> hash cascade -> output,
+cmd/find.go:206-288) maps to: source read + filter stage; the exact
+cascade of stages/exact.py; report assembly of pipelines/report.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from doppel_ray import config as C
+from doppel_ray.pipelines import report as R
+from doppel_ray.sources.parquet import read_pages
+from doppel_ray.stages import cluster as cluster_mod
+from doppel_ray.stages import exact, filters, minhash
+from doppel_ray.functions.sizes import parse_size
+
+
+def compile_filters(cfg: C.JobConfig) -> filters.FilterConfig:
+    """FindConfig -> compiled FilterConfig (cmd/find.go:154-183 analog:
+    preset bypasses parse/build, carrying pre-compiled sizes —
+    cmd/preset.go:98-131)."""
+    if cfg.find.preset:
+        return filters.get_preset_config(cfg.find.preset)
+    return filters.build_filter_config(
+        exclude_dirs=cfg.find.exclude_dirs,
+        exclude_files=cfg.find.exclude_files,
+        exclude_dir_regex=cfg.find.exclude_dir_regex,
+        exclude_file_regex=cfg.find.exclude_file_regex,
+        min_size=parse_size(cfg.find.min_size),
+        max_size=parse_size(cfg.find.max_size),
+    )
+
+
+def minhash_config(cfg: C.JobConfig) -> minhash.MinHashConfig:
+    d = cfg.dedup
+    return minhash.MinHashConfig(
+        num_perm=d.num_perm,
+        bands=d.bands,
+        shingle_n=d.shingle_n,
+        threshold=d.threshold,
+        band_cap=d.band_cap,
+        seed=d.seed,
+    )
+
+
+def find_duplicates(
+    source: Dataset | str | list[str],
+    cfg: C.JobConfig | None = None,
+    *,
+    near: bool = False,
+    out_dir: str | None = None,
+    with_stats: bool = True,
+) -> tuple[R.DuplicateReport, Dataset]:
+    """Run the full find pipeline; returns (report, groups dataset).
+
+    ``near=True`` additionally runs MinHash/LSH and merges near-dup
+    clusters into the report's group list (kind-tagged).
+    ``out_dir`` writes groups (and cluster assignments when near=True) as
+    partitioned parquet. ``with_stats=False`` skips the total/processed
+    row counts (each an extra pipeline execution) for benchmarking.
+    """
+    cfg = cfg or C.default_config()
+    t0 = time.monotonic()
+
+    ds = source if isinstance(source, Dataset) else read_pages(source)
+    total_files = ds.count() if with_stats else 0
+
+    fc = compile_filters(cfg)
+    filtered = filters.apply_filters(ds, fc)
+    processed_files = filtered.count() if with_stats else 0
+
+    groups_ds = exact.exact_duplicate_groups(filtered)
+    groups = groups_ds.take_all()
+
+    if near:
+        edges = minhash.near_dup_edges(filtered, minhash_config(cfg))
+        labels = cluster_mod.cluster_edges(edges)
+        if out_dir is not None and labels:
+            assigned = cluster_mod.assign_clusters(filtered, labels)
+            assigned.select_columns(["url", "cluster_id"]).write_parquet(
+                f"{out_dir}/clusters"
+            )
+
+    duration = time.monotonic() - t0
+    rep = R.report_from_groups(
+        groups,
+        total_files=total_files,
+        processed_files=processed_files,
+        skipped_files=total_files - processed_files,
+        duration_s=duration,
+    )
+    if out_dir is not None:
+        groups_ds.write_parquet(f"{out_dir}/groups")
+    return rep, groups_ds

@@ -74,11 +74,55 @@ def prune_singletons(ds: Dataset, key: str) -> Dataset:
     return semi_filter(ds, key, dup_vals)
 
 
-def _emit_group(g: pa.Table) -> pa.Table:
-    """One DuplicateGroup row per content-hash group with >=2 members
-    (reference finder.go:114-145). group_id = min(url) and members sorted,
-    fixing the reference's nondeterministic ids (SURVEY.md G4). Works for
-    string urls or integer doc ids alike."""
+def bucketed_group_apply(
+    ds: Dataset,
+    key: str,
+    per_bucket_fn,
+    *,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Group-by ``key`` with per-BUCKET (not per-group) Python dispatch.
+
+    ``groupby(key).map_groups(fn)`` invokes Python once per distinct key —
+    catastrophic for millions of tiny groups. This helper shuffles on
+    ``bucket = hash(key) % num_buckets`` instead (exact co-location of
+    equal keys) and hands each bucket's rows to ``per_bucket_fn`` as one
+    Arrow table, where a pandas groupby resolves the fine-grained groups
+    at C speed. ``num_buckets`` bounds shuffle fan-in; size it ~2-4x the
+    cluster's total CPUs.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from doppel_ray.functions.hashing import sip64
+
+        col = batch[key]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                mixed = vals * np.uint64(0x9E3779B97F4A7C15)
+            b = (mixed % np.uint64(num_buckets)).astype(np.int64)
+        else:
+            b = (sip64(col.to_pandas()) % np.uint64(num_buckets)).astype(
+                np.int64
+            )
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def apply(g: pa.Table) -> pa.Table:
+        return per_bucket_fn(g.drop_columns(["bucket"]))
+
+    return bucketed.groupby("bucket").map_groups(apply, batch_format="pyarrow")
+
+
+def _emit_groups_bucket(g: pa.Table) -> pa.Table:
+    """Per-bucket DuplicateGroup emission (finder.go:114-145 semantics):
+    pandas resolves the per-hash groups at C speed; the Python loop runs
+    only over hashes that actually have >=2 members."""
     id_type = g.schema.field("url").type
     schema = pa.schema(
         [
@@ -91,16 +135,27 @@ def _emit_group(g: pa.Table) -> pa.Table:
     )
     if g.num_rows < 2:
         return schema.empty_table()
-    urls = sorted(g["url"].to_pylist())
-    size = int(g["size"][0].as_py())
-    n = g.num_rows
+    df = g.to_pandas()
+    dup = df[df.duplicated("content_hash", keep=False)]
+    if dup.empty:
+        return schema.empty_table()
+    gids, counts, sizes, wasted, files = [], [], [], [], []
+    for _, grp in dup.groupby("content_hash", sort=False):
+        urls = sorted(grp["url"].tolist())
+        size = int(grp["size"].iloc[0])
+        n = len(urls)
+        gids.append(urls[0])
+        counts.append(n)
+        sizes.append(size)
+        wasted.append(size * (n - 1))
+        files.append(urls)
     return pa.table(
         {
-            "group_id": pa.array([urls[0]], type=id_type),
-            "count": pa.array([n], type=pa.int64()),
-            "size": pa.array([size], type=pa.int64()),
-            "wasted_space": pa.array([size * (n - 1)], type=pa.int64()),
-            "files": pa.array([urls], type=pa.list_(id_type)),
+            "group_id": pa.array(gids, type=id_type),
+            "count": pa.array(counts, type=pa.int64()),
+            "size": pa.array(sizes, type=pa.int64()),
+            "wasted_space": pa.array(wasted, type=pa.int64()),
+            "files": pa.array(files, type=pa.list_(id_type)),
         },
         schema=schema,
     )
@@ -112,29 +167,50 @@ def exact_duplicate_groups(
     id_col: str = "url",
     text_col: str = "text",
     cascade: bool = True,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Full exact-dup pipeline: pages -> DuplicateGroup rows.
 
-    ``cascade=True`` runs the reference's staged pruning (size then quick
-    hash) before paying full-hash cost; ``cascade=False`` hashes everything
-    (used to cross-check that the cascade changes cost, not results).
+    ``cascade=True`` prunes by quick hash (HAVING count>1) before paying
+    full-hash + shuffle cost — the Ray-Data reading of the reference's
+    staged cascade (finder.go:44-146). Deviation, deliberate: the
+    reference prunes by *size* first because size is free while any hash
+    requires reading the file; here ``text`` is already resident in the
+    Arrow batch, so a separate size-prune pass costs an extra pipeline
+    execution + count shuffle and saves only the (cheap, 8 KiB-windowed,
+    memory-bandwidth-bound) quick hash. Size+quick-hash are computed in
+    ONE map_batches pass and pruning happens once, on the stronger key —
+    identical results, one fewer all-to-all round. ``cascade=False``
+    full-hashes everything (cross-checks that the cascade changes cost,
+    not results).
     """
     ds = ds.select_columns([id_col, text_col])
     if id_col != "url":
         ds = ds.rename_columns({id_col: "url"})
-    ds = hashes.add_size(ds, text_col=text_col)
+
+    def add_size_quick(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from doppel_ray.functions import hashing as H
+
+        batch = batch.append_column(
+            "size", pa.array(H.byte_lengths(batch[text_col]))
+        )
+        if cascade:
+            qh = H.quick_hash(batch[text_col]).view(np.int64)
+            batch = batch.append_column("quick_hash", pa.array(qh))
+        return batch
+
+    ds = ds.map_batches(add_size_quick, batch_format="pyarrow")
     if cascade:
-        ds = prune_singletons(ds, "size")
-        ds = hashes.add_quick_hash(ds, text_col=text_col)
         ds = prune_singletons(ds, "quick_hash")
     ds = hashes.add_content_hash(ds, text_col=text_col)
     # drop the payload BEFORE the all-to-all shuffle: only (hash, url, size)
     # moves through the object store.
     ds = ds.select_columns(["content_hash", "url", "size"])
-    groups = ds.groupby("content_hash").map_groups(
-        _emit_group, batch_format="pyarrow"
+    return bucketed_group_apply(
+        ds, "content_hash", _emit_groups_bucket, num_buckets=num_buckets
     )
-    return groups
 
 
 def dedup_keep_first(

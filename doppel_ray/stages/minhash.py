@@ -2,54 +2,64 @@
 
 Pipeline (SURVEY.md §7.3 step 5):
 
-    pages --map_batches(MinHashSigner actor pool)--> (url, band_key x B)
-          --flat explode--> (url, band_key) rows
-          --groupby(band_key)--> candidate pairs (capped for hot bands)
-          --groupby(pair)------> deduped pairs
-          --map_batches(PairVerifier)--> edges with exact Jaccard >= tau
+    pages --map_batches(sign: minhash + band keys)--> (url, band_key) rows
+          --bucketed groupby(band_key)--> candidate pairs (hot bands capped)
+          --dedupe--> --map_batches(verify: exact Jaccard)--> edges >= tau
 
-The signer is a callable CLASS (actor pool): the k-permutation parameter
-matrix is built once per actor in ``__init__`` and reused per batch — the
-Ray-Data analog of the reference's per-worker reused hasher state
-(reference internal/finder/finder.go:163-166, 224-227).
-
-Skew handling (north rule; no counterpart in the reference): boilerplate
-corpora create mega-bands. A band group larger than ``band_cap`` does NOT
-emit all O(m^2) pairs; it emits a sorted ring (m pairs) which preserves
-component connectivity for clustering, and reports the dropped pair count
-in the ``dropped`` column — no silent truncation. Huge bands are in
-practice exact-dup boilerplate already captured by the exact cascade.
-
-Verification: candidate docs (urls appearing in >=1 pair) are a small
-subset of the corpus; their exact shingle sets are computed distributed,
-then broadcast via ``ray.put`` for pair verification in ``map_batches``.
-Scale path (documented assumption): when candidate shingle sets outgrow a
-node, replace the broadcast with a bucketed two-pass hash join on
-``hash(url) % B`` — the surrounding stages are unchanged.
+Physical design notes (measured, not guessed — see BASELINE.md):
+* The signer is a plain function whose permutation matrix is built once
+  per worker process via an lru_cache keyed on (num_perm, seed). An actor
+  pool (the original design, mirroring the reference's per-worker hasher
+  reuse at finder.go:163-166) was measured strictly slower here: the
+  state is two 1 KiB arrays — pool spin-up latency and scheduling
+  rigidity cost more than they save. ``MinHashSigner`` (the callable
+  class) is kept for callers that add genuinely heavy state.
+* Candidate-pair emission uses ``bucketed_group_apply`` (hash-bucket the
+  band key, pandas-resolve groups inside each bucket): per-group
+  ``map_groups`` costs one Python call per band (~1 per doc x bands) and
+  measured 30x slower.
+* Skew (north rule): a band group larger than ``band_cap`` emits a sorted
+  ring (m pairs) instead of all O(m^2) — connectivity for clustering is
+  preserved and the ``dropped`` column carries the pruned-pair count (no
+  silent truncation). Mega-bands are boilerplate/exact dups in practice,
+  already captured by the exact cascade.
+* Verification: candidate docs are a small subset of the corpus; their
+  exact shingle sets are computed distributed, then broadcast via
+  ``ray.put`` for verification in ``map_batches``. Scale path (documented
+  assumption: candidate sets fit one node's RAM): replace the broadcast
+  with a bucketed two-pass hash join on hash(url) — stage boundaries
+  unchanged.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from doppel_ray.functions import text as T
-from doppel_ray.stages.exact import semi_filter
+from doppel_ray.stages.exact import bucketed_group_apply, semi_filter
 
+PAIRS_SCHEMA = pa.schema(
+    [("url_a", pa.string()), ("url_b", pa.string()), ("dropped", pa.int64())]
+)
 
-def _doc_bytes(col: pa.Array | pa.ChunkedArray, cfg: "MinHashConfig") -> list[bytes]:
-    if cfg.normalize:
-        return [s.encode() for s in T.normalize_texts(col)]
-    return [s.encode() for s in col.to_pylist()]
+EDGES_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("similarity", pa.float64()),
+        ("kind", pa.string()),
+    ]
+)
 
 
 @dataclass(frozen=True)
@@ -66,117 +76,120 @@ class MinHashConfig:
     # set-Jaccard 1.0 does NOT imply identical text (repeated shingles
     # vanish in the set), so exact dedup must compare content hashes.
     verify_mode: str = "jaccard"
-    # autoscaling actor pool (min,max): min=1 so the pool can never reserve
-    # every CPU and starve downstream stages on small clusters
-    signer_concurrency: int | tuple[int, int] = (1, 8)
-    batch_size: int = 1024
+    num_buckets: int = 64    # band-key shuffle buckets (~2-4x total CPUs)
+    batch_size: int = 2048
+    # candidate-doc count above which verification switches from the
+    # broadcast lookup (one ray.put, fastest when the lookup is small) to
+    # the fully-distributed bucketed join (no single-node bound)
+    broadcast_limit: int = 20000
 
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.bands
 
 
+@functools.lru_cache(maxsize=8)
+def _perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-worker-process cached permutation parameters (1 KiB of state)."""
+    return T.make_permutations(num_perm, seed)
+
+
+def _doc_bytes(col: pa.Array | pa.ChunkedArray, cfg: MinHashConfig) -> list[bytes]:
+    if cfg.normalize:
+        return [s.encode() for s in T.normalize_texts(col)]
+    return [s.encode() for s in col.to_pylist()]
+
+
+def sign_batch(batch: pa.Table, cfg: MinHashConfig) -> pa.Table:
+    """text -> flattened (url, band_key) candidate rows (one per band)."""
+    a, b = _perms(cfg.num_perm, cfg.seed)
+    byte_docs = _doc_bytes(batch["text"], cfg)
+    sigs = T.minhash_signatures(byte_docs, cfg.shingle_n, a, b)
+    keys = T.band_keys(sigs, cfg.bands, seed=cfg.seed)  # (n, bands) int64
+    urls = batch["url"].to_pylist()
+    return pa.table(
+        {
+            "url": pa.array(np.repeat(urls, cfg.bands)),
+            "band_key": pa.array(keys.ravel(), type=pa.int64()),
+        }
+    )
+
+
 class MinHashSigner:
-    """Actor-pool stage: text -> flattened (url, band_key) candidate rows."""
+    """Actor-pool variant of ``sign_batch`` for deployments that extend the
+    signer with heavy per-actor state; functionally identical."""
 
     def __init__(self, cfg: MinHashConfig):
         self.cfg = cfg
         self.a, self.b = T.make_permutations(cfg.num_perm, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        byte_docs = _doc_bytes(batch["text"], cfg)
-        sigs = T.minhash_signatures(byte_docs, cfg.shingle_n, self.a, self.b)
-        keys = T.band_keys(sigs, cfg.bands, seed=cfg.seed)  # (n, bands) int64
-        urls = batch["url"].to_pylist()
-        n = len(urls)
-        return pa.table(
-            {
-                "url": pa.array(np.repeat(urls, cfg.bands)),
-                "band_key": pa.array(keys.ravel(), type=pa.int64()),
-            }
-        )
+        return sign_batch(batch, self.cfg)
+
+
+def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
+    """All (or ring-capped) within-band pairs for every band group in the
+    bucket; pandas groups at C speed, Python loops only over bands with
+    >=2 distinct members."""
+    if g.num_rows < 2:
+        return PAIRS_SCHEMA.empty_table()
+    df = g.to_pandas()
+    df = df.drop_duplicates()  # a url can repeat an identical (url, band_key)
+    dup = df[df.duplicated("band_key", keep=False)]
+    if dup.empty:
+        return PAIRS_SCHEMA.empty_table()
+    ua: list[str] = []
+    ub: list[str] = []
+    dropped: list[int] = []
+    for _, grp in dup.groupby("band_key", sort=False):
+        urls = sorted(set(grp["url"].tolist()))
+        m = len(urls)
+        if m < 2:
+            continue
+        if m <= cap:
+            for i in range(m):
+                for j in range(i + 1, m):
+                    ua.append(urls[i])
+                    ub.append(urls[j])
+                    dropped.append(0)
+        else:
+            # hot band: ring of consecutive pairs keeps the component
+            # connected; report pruned pair count (no silent truncation)
+            total = m * (m - 1) // 2
+            for i in range(m - 1):
+                ua.append(urls[i])
+                ub.append(urls[i + 1])
+                dropped.append(0)
+            dropped[-(m - 1)] = total - (m - 1)
+    return pa.table(
+        {
+            "url_a": pa.array(ua, type=pa.string()),
+            "url_b": pa.array(ub, type=pa.string()),
+            "dropped": pa.array(dropped, type=pa.int64()),
+        },
+        schema=PAIRS_SCHEMA,
+    )
 
 
 def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
-    """pages -> deduped candidate pair rows (url_a < url_b, dropped count)."""
+    """pages -> candidate pair rows (url_a < url_b, with dropped counts).
+
+    Pairs surfacing in multiple bands are NOT deduped here (the collector
+    in ``near_dup_edges`` does it in one vectorized pass); at true scale
+    swap the collector for a bucketed groupby on (url_a, url_b).
+    """
     sig = ds.map_batches(
-        MinHashSigner,
-        fn_constructor_args=(cfg,),
+        lambda t: sign_batch(t, cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.signer_concurrency,
     )
     cap = cfg.band_cap
-
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [("url_a", pa.string()), ("url_b", pa.string()), ("dropped", pa.int64())]
-        )
-        m = g.num_rows
-        if m < 2:
-            return schema.empty_table()
-        urls = sorted(set(g["url"].to_pylist()))
-        m = len(urls)
-        if m < 2:
-            return schema.empty_table()
-        if m <= cap:
-            pairs = list(combinations(urls, 2))
-            dropped = [0] * len(pairs)
-        else:
-            # hot band: ring of consecutive pairs keeps the component
-            # connected; report the pruned pair count (no silent truncation)
-            pairs = [(urls[i], urls[i + 1]) for i in range(m - 1)]
-            total = m * (m - 1) // 2
-            dropped = [total - len(pairs)] + [0] * (len(pairs) - 1)
-        return pa.table(
-            {
-                "url_a": pa.array([p[0] for p in pairs]),
-                "url_b": pa.array([p[1] for p in pairs]),
-                "dropped": pa.array(dropped, type=pa.int64()),
-            }
-        )
-
-    pairs = sig.groupby("band_key").map_groups(emit_pairs, batch_format="pyarrow")
-    # dedupe pairs found in multiple bands; keep the dropped-pair tally
-    return pairs.groupby(["url_a", "url_b"]).aggregate(Sum("dropped", alias_name="dropped"))
-
-
-class PairVerifier:
-    """Actor-pool stage: candidate pairs -> verified edges.
-
-    jaccard mode: holds the broadcast {url: sorted-unique shingle hashes}
-    map; exact set-Jaccard via ``np.intersect1d`` per pair.
-    exact mode: holds {url: content_hash}; edge iff byte-identical text.
-    """
-
-    def __init__(self, lookup_ref, threshold: float, mode: str = "jaccard"):
-        self.lookup: dict = ray.get(lookup_ref)
-        self.threshold = threshold
-        self.mode = mode
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ua = batch["url_a"].to_pylist()
-        ub = batch["url_b"].to_pylist()
-        sims = np.empty(len(ua), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ua, ub)):
-            sa = self.lookup.get(x)
-            sb = self.lookup.get(y)
-            if sa is None or sb is None:
-                sims[i] = 0.0
-            elif self.mode == "exact":
-                sims[i] = 1.0 if sa == sb else 0.0
-            else:
-                sims[i] = T.exact_jaccard(sa, sb)
-        tbl = pa.table(
-            {
-                "url_a": batch["url_a"],
-                "url_b": batch["url_b"],
-                "similarity": pa.array(sims),
-            }
-        )
-        mask = pa.array(sims >= self.threshold)
-        return tbl.filter(mask)
+    return bucketed_group_apply(
+        sig,
+        "band_key",
+        lambda g: _emit_pairs_bucket(g, cap),
+        num_buckets=cfg.num_buckets,
+    )
 
 
 def shingle_sets_for(
@@ -229,48 +242,233 @@ def content_hashes_for(ds: Dataset, urls: pa.Array) -> dict[str, str]:
     return out
 
 
+def _verify_batch(
+    batch: pa.Table, lookup: dict, threshold: float, mode: str
+) -> pa.Table:
+    ua = batch["url_a"].to_pylist()
+    ub = batch["url_b"].to_pylist()
+    sims = np.empty(len(ua), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(ua, ub)):
+        sa = lookup.get(x)
+        sb = lookup.get(y)
+        if sa is None or sb is None:
+            sims[i] = 0.0
+        elif mode == "exact":
+            sims[i] = 1.0 if sa == sb else 0.0
+        else:
+            sims[i] = T.exact_jaccard(sa, sb)
+    tbl = pa.table(
+        {
+            "url_a": batch["url_a"],
+            "url_b": batch["url_b"],
+            "similarity": pa.array(sims),
+        }
+    )
+    return tbl.filter(pa.array(sims >= threshold))
+
+
+class PairVerifier:
+    """Actor-pool verifier holding the broadcast lookup ({url: shingle set}
+    in jaccard mode, {url: content hash} in exact mode)."""
+
+    def __init__(self, lookup_ref, threshold: float, mode: str = "jaccard"):
+        self.lookup: dict = ray.get(lookup_ref)
+        self.threshold = threshold
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _verify_batch(batch, self.lookup, self.threshold, self.mode)
+
+
+def collect_table(ds: Dataset, schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a Dataset to one Arrow table WITHOUT the per-row dict
+    conversion of take_all (vectorized batch concat)."""
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return schema.empty_table() if schema is not None else pa.table({})
+    if schema is not None:
+        batches = [b.select(schema.names).cast(schema) for b in batches]
+    return pa.concat_tables(batches)
+
+
+def dedupe_pairs(pairs: Dataset, num_buckets: int) -> Dataset:
+    """Distributed pair dedupe: the same pair surfaces from up to ``bands``
+    different band groups; bucket by url_a (all copies co-locate) and
+    drop duplicates per bucket, keeping the dropped-pair tally."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        agg = df.groupby(["url_a", "url_b"], sort=False, as_index=False)[
+            "dropped"
+        ].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False).cast(PAIRS_SCHEMA)
+
+    return bucketed_group_apply(pairs, "url_a", per_bucket, num_buckets=num_buckets)
+
+
+def _routed_verify(
+    ds: Dataset, pairs_t: pa.Table, cfg: MinHashConfig
+) -> Dataset:
+    """Distributed verification via ONE bucketed shuffle with text routing.
+
+    The (already driver-materialized, small) pair list determines which
+    bucket verifies each pair: bucket(pair) = sip64(url_a) % B. A routing
+    map {url -> buckets needing its text} is broadcast (O(candidate docs),
+    ~60 B/doc), the corpus stream replicates each candidate text to its
+    buckets (replication factor = distinct pair-buckets per doc, ~1), and
+    each bucket independently recomputes shingle sets with the vectorized
+    kernel and verifies its pairs. No list-column carries, no pandas
+    merges, no per-row Python in the shuffle path.
+
+    Documented scale assumption: the routing map (like the candidate url
+    set) fits the driver — holds to ~10^8 candidate docs; beyond that,
+    shard the pair list and run this stage per shard.
+    """
+    from doppel_ray.functions.hashing import sip64
+
+    B = cfg.num_buckets
+    pdf = pairs_t.to_pandas()
+    pdf["bucket"] = (sip64(pdf["url_a"]) % np.uint64(B)).astype(np.int64)
+    route_df = (
+        pd.concat(
+            [
+                pdf[["url_a", "bucket"]].rename(columns={"url_a": "url"}),
+                pdf[["url_b", "bucket"]].rename(columns={"url_b": "url"}),
+            ]
+        )
+        .drop_duplicates()
+    )
+    routing: dict[str, np.ndarray] = {
+        u: g.to_numpy() for u, g in route_df.groupby("url")["bucket"]
+    }
+    ref = ray.put(routing)
+
+    def route_texts(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(ref)
+        urls = batch["url"].to_pylist()
+        idx: list[int] = []
+        buckets: list[int] = []
+        for i, u in enumerate(urls):
+            bs = rmap.get(u)
+            if bs is not None:
+                idx.extend([i] * len(bs))
+                buckets.extend(bs.tolist())
+        if not idx:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "text": pa.array([], type=pa.large_string()),
+                }
+            )
+        taken = batch.take(pa.array(idx, type=pa.int64()))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "url_a": taken["url"],
+                "url_b": pa.nulls(len(idx), type=pa.string()),
+                "text": pc.cast(taken["text"], pa.large_string()),
+            }
+        )
+
+    routed = ds.select_columns(["url", "text"]).map_batches(
+        route_texts, batch_format="pyarrow"
+    )
+    pairs_tagged = ray.data.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(pdf["bucket"], type=pa.int64()),
+                "url_a": pa.array(pdf["url_a"], type=pa.string()),
+                "url_b": pa.array(pdf["url_b"], type=pa.string()),
+                "text": pa.nulls(len(pdf), type=pa.large_string()),
+            }
+        )
+    )
+    unioned = pairs_tagged.union(routed)
+    threshold, mode = cfg.threshold, cfg.verify_mode
+    verify_schema = pa.schema(
+        [
+            ("url_a", pa.string()),
+            ("url_b", pa.string()),
+            ("similarity", pa.float64()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_text = pc.is_valid(g["text"])
+        texts_t = g.filter(is_text)
+        pair_t = g.filter(pc.invert(is_text))
+        if pair_t.num_rows == 0:
+            return verify_schema.empty_table()
+        if mode == "exact":
+            from doppel_ray.functions import hashing
+
+            payloads = hashing.content_hash(texts_t["text"])
+            lookup = dict(zip(texts_t["url_a"].to_pylist(), payloads))
+        else:
+            byte_docs = _doc_bytes(texts_t["text"], cfg)
+            sets = T.unique_shingles(byte_docs, cfg.shingle_n)
+            lookup = dict(zip(texts_t["url_a"].to_pylist(), sets))
+        batch = pa.table(
+            {"url_a": pair_t["url_a"], "url_b": pair_t["url_b"]}
+        )
+        return _verify_batch(batch, lookup, threshold, mode)
+
+    return (
+        unioned.groupby("bucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+
+def _unique_pair_urls(pairs: Dataset) -> pa.Array:
+    """Distinct urls appearing in any candidate pair (vectorized collect)."""
+    t = collect_table(pairs.select_columns(["url_a", "url_b"]))
+    if t.num_rows == 0:
+        return pa.array([], type=pa.string())
+    both = pa.concat_arrays(
+        [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
+    )
+    import pyarrow.compute as pc
+
+    return pc.unique(both)
+
+
 def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     """pages -> verified near-dup edges (url_a, url_b, similarity, kind).
 
     ``similarity`` is the exact Jaccard over unique char-n-gram shingle
     hashes of the normalized text; only pairs >= cfg.threshold survive.
+    Verification auto-selects broadcast (small candidate sets) vs the
+    fully-distributed bucketed join (see module docstring).
     """
     cfg = cfg or MinHashConfig()
     pairs = candidate_pairs(ds, cfg)
-    pairs_t = pa.Table.from_pylist(
-        pairs.take_all(),
-        schema=pa.schema(
-            [("url_a", pa.string()), ("url_b", pa.string()), ("dropped", pa.int64())]
-        ),
-    )
-    if pairs_t.num_rows == 0:
-        return ray.data.from_arrow(
-            pa.schema(
-                [
-                    ("url_a", pa.string()),
-                    ("url_b", pa.string()),
-                    ("similarity", pa.float64()),
-                    ("kind", pa.string()),
-                ]
-            ).empty_table()
-        )
-    cand_urls = pa.array(
-        sorted(
-            set(pairs_t["url_a"].to_pylist()) | set(pairs_t["url_b"].to_pylist())
-        )
-    )
-    if cfg.verify_mode == "exact":
-        lookup = content_hashes_for(ds, cand_urls)
+    pairs = dedupe_pairs(pairs, cfg.num_buckets).materialize()
+    cand_urls = _unique_pair_urls(pairs)
+    if len(cand_urls) == 0:
+        return ray.data.from_arrow(EDGES_SCHEMA.empty_table())
+    pairs = pairs.drop_columns(["dropped"])
+
+    if len(cand_urls) <= cfg.broadcast_limit:
+        if cfg.verify_mode == "exact":
+            lookup = content_hashes_for(ds, cand_urls)
+        else:
+            lookup = shingle_sets_for(ds, cand_urls, cfg)
+        ref = ray.put(lookup)
+        threshold, mode = cfg.threshold, cfg.verify_mode
+
+        def verify(batch: pa.Table) -> pa.Table:
+            return _verify_batch(batch, ray.get(ref), threshold, mode)
+
+        edges = pairs.map_batches(verify, batch_format="pyarrow")
     else:
-        lookup = shingle_sets_for(ds, cand_urls, cfg)
-    ref = ray.put(lookup)
-    pairs_ds = ray.data.from_arrow(pairs_t.drop_columns(["dropped"]))
-    edges = pairs_ds.map_batches(
-        PairVerifier,
-        fn_constructor_args=(ref, cfg.threshold, cfg.verify_mode),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+        pairs_t = collect_table(
+            pairs,
+            pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        )
+        edges = _routed_verify(ds, pairs_t, cfg)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(

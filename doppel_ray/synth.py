@@ -207,6 +207,18 @@ def generate(spec: SynthSpec | None = None) -> SynthResult:
                        exact_clusters=exact_clusters)
 
 
+def _bench_vocab(rng: np.random.Generator, n_words: int = 4000) -> np.ndarray:
+    """Synthetic vocabulary large enough that two random docs have LOW
+    shingle Jaccard (a ~90-word vocab makes every random doc a shingle
+    near-duplicate of every other, turning LSH bands into mega-groups —
+    unrealistic for web text and quadratic in candidate pairs)."""
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.integers(4, 10, size=n_words)
+    return np.array(
+        ["".join(letters[rng.integers(0, 26, size=l)]) for l in lens]
+    )
+
+
 def generate_bench_corpus(n_docs: int, seed: int = 42, dup_frac: float = 0.3,
                           near_frac: float = 0.1, doc_words: int = 120) -> pa.Table:
     """Large flat corpus for throughput benchmarks: ``dup_frac`` of rows are
@@ -215,7 +227,7 @@ def generate_bench_corpus(n_docs: int, seed: int = 42, dup_frac: float = 0.3,
     """
     rng = np.random.default_rng(seed)
     n_base = int(n_docs * (1 - dup_frac - near_frac))
-    words = np.array(_WORDS)
+    words = _bench_vocab(rng)
     # base docs: matrix of word indices -> joined strings
     idx = rng.integers(0, len(words), size=(n_base, doc_words))
     base_texts = [" ".join(row) for row in words[idx]]
