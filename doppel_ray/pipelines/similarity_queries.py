@@ -115,3 +115,21 @@ def dup_clusters(sf_dir: str):
             "cluster_id": pa.array([int(k) for k, _ in items], type=pa.int64()),
         }
     )
+
+
+@query("simhash_near_dup")  # rows-only: Hamming-band LSH is not SQL-expressible
+def simhash_near_dup(sf_dir: str):
+    """SimHash fingerprints + pigeonhole block candidates at Hamming<=3
+    (Manku/Jain/Sarma WWW'07); exact popcount verification."""
+    from doppel_ray.stages import simhash
+
+    ds = _docs_as_pages(sf_dir)
+    edges = simhash.simhash_edges(ds, simhash.SimHashConfig())
+    rows = edges.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
+            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
+            "hamming": pa.array([r["hamming"] for r in rows], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,117 @@
+"""SimHash candidate-generation tests: kernel contracts, the pigeonhole
+exactness guarantee (bands > max_hamming => every pair within distance d
+shares a block, so the pipeline must find EXACTLY the brute-force pairs
+when no hot-block capping kicks in), and capped-hot-block connectivity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from doppel_ray.functions import text as T
+from doppel_ray.stages import simhash
+
+
+def _truth_pairs(pages: pa.Table, cfg: simhash.SimHashConfig):
+    """Brute-force all-pairs Hamming <= max_hamming at the same config."""
+    urls = pages["url"].to_pylist()
+    texts = (
+        T.normalize_texts(pages["text"])
+        if cfg.normalize
+        else pages["text"].to_pandas()
+    )
+    sh = T.simhash_signatures(texts).view(np.uint64)
+    n = len(urls)
+    truth = {}
+    for i in range(n):
+        d = T.hamming_distance64(np.full(n - i - 1, sh[i]), sh[i + 1 :])
+        for off in np.nonzero(d <= cfg.max_hamming)[0]:
+            j = i + 1 + off
+            key = (min(urls[i], urls[j]), max(urls[i], urls[j]))
+            truth[key] = int(d[off])
+    return truth
+
+
+class TestKernels:
+    def test_identical_texts_identical_fingerprint(self):
+        s = pd.Series(["the quick brown fox jumps over the lazy dog"] * 2)
+        sh = T.simhash_signatures(s)
+        assert sh[0] == sh[1]
+
+    def test_small_edit_small_hamming(self):
+        base = " ".join(f"tok{i}" for i in range(200))
+        edited = base.replace("tok117", "zzz")
+        sh = T.simhash_signatures(pd.Series([base, edited])).view(np.uint64)
+        d = T.hamming_distance64(sh[:1], sh[1:])
+        assert 0 < d[0] <= 12
+
+    def test_unrelated_texts_far_apart(self):
+        rng = np.random.default_rng(7)
+        a = " ".join(f"a{i}" for i in rng.integers(0, 10**6, 300))
+        b = " ".join(f"b{i}" for i in rng.integers(0, 10**6, 300))
+        sh = T.simhash_signatures(pd.Series([a, b])).view(np.uint64)
+        assert T.hamming_distance64(sh[:1], sh[1:])[0] > 15
+
+    def test_hamming_distance64(self):
+        a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1011], dtype=np.uint64)
+        b = np.array([0, 0, 0b0011], dtype=np.uint64)
+        assert T.hamming_distance64(a, b).tolist() == [0, 64, 1]
+
+    def test_explode_blocks_covers_word(self):
+        t = pa.table({"url": ["u"], "simhash": pa.array([-1], pa.int64())})
+        out = simhash._explode_blocks(t, bands=4)
+        assert out.num_rows == 4
+        assert len(set(out["block_key"].to_pylist())) == 4
+
+
+class TestPipeline:
+    def test_pigeonhole_exact_vs_brute_force(self, synth_corpus):
+        """Uncapped: pipeline edges == brute-force pairs (set AND distances)."""
+        cfg = simhash.SimHashConfig(band_cap=10**9, num_buckets=8)
+        pages = synth_corpus.pages.select(["url", "text"])
+        truth = _truth_pairs(pages, cfg)
+        edges = simhash.simhash_edges(rd.from_arrow(pages), cfg).take_all()
+        got = {
+            (min(r["url_a"], r["url_b"]), max(r["url_a"], r["url_b"])): r["hamming"]
+            for r in edges
+        }
+        assert got == truth
+        assert len(edges) == len(got), "duplicate pairs emitted"
+
+    def test_exact_dups_found_at_distance_zero(self, synth_corpus):
+        cfg = simhash.SimHashConfig(band_cap=10**9, num_buckets=8)
+        pages = synth_corpus.pages.select(["url", "text"])
+        edges = simhash.simhash_edges(rd.from_arrow(pages), cfg).take_all()
+        got = {(r["url_a"], r["url_b"]) for r in edges}
+        # every planted exact-dup pair must appear with hamming 0
+        by_cluster: dict[int, list[str]] = {}
+        for url, cid in synth_corpus.exact_clusters.items():
+            by_cluster.setdefault(cid, []).append(url)
+        ham0 = {
+            (min(r["url_a"], r["url_b"]), max(r["url_a"], r["url_b"]))
+            for r in edges
+            if r["hamming"] == 0
+        }
+        for members in by_cluster.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    assert (members[i], members[j]) in ham0
+
+    def test_capped_hot_block_keeps_connectivity(self):
+        """A mega-cluster of identical docs above the cap still comes out
+        connected (ring emission), with dropped-pair counts surfaced."""
+        n = 40
+        urls = [f"u{i:03d}" for i in range(n)]
+        t = pa.table({"url": urls, "text": ["same boilerplate text here"] * n})
+        cfg = simhash.SimHashConfig(band_cap=5, num_buckets=4)
+        edges = simhash.simhash_edges(rd.from_arrow(t), cfg).take_all()
+        from doppel_ray.state.unionfind import UnionFind
+
+        uf = UnionFind()
+        for r in edges:
+            uf.union(r["url_a"], r["url_b"])
+        roots = {uf.find(u) for u in urls}
+        assert len(roots) == 1
