@@ -133,3 +133,31 @@ def simhash_near_dup(sf_dir: str):
             "hamming": pa.array([r["hamming"] for r in rows], type=pa.int64()),
         }
     )
+
+
+@query(
+    "containment_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id != b.doc_id
+     AND strlen(a.text) >= 8
+     AND strlen(a.text) < strlen(b.text)
+     AND contains(b.text, a.text)
+    """,
+)
+def containment_pairs(sf_dir: str):
+    """Exact-substring containment (suffix-array probe path + CDC anchor
+    grams) over raw text; oracle is the brute-force SQL self-join."""
+    from doppel_ray.stages import substring
+
+    ds = _docs_as_pages(sf_dir)
+    cfg = substring.ContainmentConfig(normalize=False)
+    edges = substring.containment_edges(ds, cfg)
+    rows = edges.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
+            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,392 @@
+"""Exact-substring containment as a Ray Data pipeline.
+
+Finds every (contained, container) document pair where the contained
+doc's full text occurs verbatim inside the container's text (strictly
+smaller size; equal-size containment means identical text, which the
+exact-dup cascade already covers — reference analog: the size-first
+staging of scanner.go:94 / finder.go:47-58).
+
+Two complementary exact paths (SURVEY.md §7.3 step 8, §7.5):
+
+1. **Anchor-gram path** (docs long enough to carry anchors): every doc
+   emits content-defined anchor grams (``functions.suffix.anchor_grams``
+   — rolling-hash windows selected by content only, CDC-style). If A is
+   a substring of B, every anchor window of A recurs verbatim in B, and
+   because selection depends only on window content, B emits the same
+   gram — so ONE contained-side anchor per doc already guarantees the
+   pair surfaces. Contained-side rows are capped at ``probe_anchors``
+   per doc (exactness unaffected); container-side rows are all anchors
+   (~size/p per doc, the linear cost that a corpus-scale suffix array
+   would also pay). Candidate pairs come from a bucketed groupby on the
+   gram, hot grams capped with ``dropped`` counts; verification fetches
+   both texts and checks ``b.find(a)``.
+
+2. **Probe path** (docs shorter than the anchor window or with no
+   qualifying window): such docs are tiny by construction; they are
+   collected and broadcast via ``ray.put`` (bounded by ``probe_cap``,
+   overflow counted, never silent), and one ``map_batches`` pass scans
+   every corpus batch for all probes — per batch either a suffix array
+   over the sentinel-joined batch text with O(m log n) lookups (many
+   probes) or C-speed ``bytes.find`` (few probes).
+
+Both paths are exact; their union is the exact containment relation
+(restricted to contained size >= min_contained_size and pair caps).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from doppel_ray.functions import suffix as S
+from doppel_ray.functions import text as T
+from doppel_ray.stages.exact import bucketed_group_apply, semi_filter
+
+CONTAIN_EDGES_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),   # contained
+        ("url_b", pa.string()),   # container
+        ("size_a", pa.int64()),
+        ("size_b", pa.int64()),
+        ("kind", pa.string()),
+    ]
+)
+
+_PAIRS_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("dropped", pa.int64()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class ContainmentConfig:
+    window: int = 24            # anchor window bytes (w)
+    anchor_rate: int = 16       # expected bytes per anchor (p)
+    probe_anchors: int = 2      # contained-side anchors emitted per doc
+    min_contained_size: int = 8 # ignore trivially-short contained docs
+    gram_cap: int = 4096        # max pairs emitted per hot gram group
+    probe_cap: int = 50000      # max broadcast probes (overflow counted)
+    sa_min_probes: int = 8      # build a suffix array above this count
+    num_buckets: int = 64
+    normalize: bool = True      # containment over normalized text
+    batch_size: int = 1024
+
+
+def _doc_bytes(col, cfg: ContainmentConfig) -> list[bytes]:
+    if cfg.normalize:
+        return [s.encode() for s in T.normalize_texts(col)]
+    return [s.encode() for s in col.to_pylist()]
+
+
+def _gram_rows(batch: pa.Table, cfg: ContainmentConfig) -> pa.Table:
+    """Per-doc anchor grams -> (gram, url, size, contained_ok) rows.
+
+    ``contained_ok`` marks the per-doc capped subset allowed to act as
+    the contained side; every anchor acts as container side.
+    """
+    docs = _doc_bytes(batch["text"], cfg)
+    urls = batch["url"].to_pylist()
+    grams: list[np.ndarray] = []
+    out_urls: list[str] = []
+    out_sizes: list[int] = []
+    out_ok: list[np.ndarray] = []
+    for u, d in zip(urls, docs):
+        g = S.anchor_grams(d, cfg.window, cfg.anchor_rate)
+        if len(g) == 0:
+            continue
+        grams.append(g)
+        out_urls.extend([u] * len(g))
+        out_sizes.extend([len(d)] * len(g))
+        ok = np.zeros(len(g), dtype=bool)
+        ok[: cfg.probe_anchors] = True
+        out_ok.append(ok)
+    if not grams:
+        return pa.table(
+            {
+                "gram": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "size": pa.array([], type=pa.int64()),
+                "contained_ok": pa.array([], type=pa.bool_()),
+            }
+        )
+    return pa.table(
+        {
+            "gram": pa.array(
+                np.concatenate(grams).view(np.int64), type=pa.int64()
+            ),
+            "url": pa.array(out_urls, type=pa.string()),
+            "size": pa.array(out_sizes, type=pa.int64()),
+            "contained_ok": pa.array(np.concatenate(out_ok)),
+        }
+    )
+
+
+def _pairs_bucket(g: pa.Table, cfg: ContainmentConfig) -> pa.Table:
+    """Candidate (contained, container) pairs per gram group: contained
+    side = capped rows with strictly smaller size; hot grams capped at
+    ``gram_cap`` pairs with the overflow tallied in ``dropped``."""
+    if g.num_rows < 2:
+        return _PAIRS_SCHEMA.empty_table()
+    df = g.to_pandas()
+    dup = df[df.duplicated("gram", keep=False)]
+    if dup.empty:
+        return _PAIRS_SCHEMA.empty_table()
+    ua: list[str] = []
+    ub: list[str] = []
+    dropped: list[int] = []
+    min_sz = cfg.min_contained_size
+    for _, grp in dup.groupby("gram", sort=False):
+        sub = grp[grp["contained_ok"] & (grp["size"] >= min_sz)]
+        if sub.empty:
+            continue
+        emitted = 0
+        over = 0
+        # container side: every row of the group with strictly larger size
+        sizes = grp["size"].to_numpy()
+        urls = grp["url"].to_numpy()
+        for a_url, a_size in zip(sub["url"].to_numpy(), sub["size"].to_numpy()):
+            bigger = np.nonzero(sizes > a_size)[0]
+            for j in bigger:
+                if urls[j] == a_url:
+                    continue
+                if emitted >= cfg.gram_cap:
+                    over += 1
+                    continue
+                ua.append(a_url)
+                ub.append(urls[j])
+                dropped.append(0)
+                emitted += 1
+        if over and dropped:
+            dropped[-1] += over
+    return pa.table(
+        {
+            "url_a": pa.array(ua, type=pa.string()),
+            "url_b": pa.array(ub, type=pa.string()),
+            "dropped": pa.array(dropped, type=pa.int64()),
+        },
+        schema=_PAIRS_SCHEMA,
+    )
+
+
+def _collect_probes(ds: Dataset, cfg: ContainmentConfig) -> tuple[list, int]:
+    """Docs that cannot carry anchors (short / no qualifying window):
+    returns ([(url, bytes, size)] sorted, overflow_count)."""
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        docs = _doc_bytes(batch["text"], cfg)
+        urls = batch["url"].to_pylist()
+        keep_u, keep_t = [], []
+        for u, d in zip(urls, docs):
+            if len(d) < cfg.min_contained_size:
+                continue
+            if len(S.anchor_grams(d, cfg.window, cfg.anchor_rate)) == 0:
+                keep_u.append(u)
+                keep_t.append(d)
+        return pa.table(
+            {
+                "url": pa.array(keep_u, type=pa.string()),
+                "probe": pa.array(keep_t, type=pa.large_binary()),
+            }
+        )
+
+    rows = []
+    for b in (
+        ds.select_columns(["url", "text"])
+        .map_batches(probe_rows, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for u, p in zip(b["url"].to_pylist(), b["probe"].to_pylist()):
+            rows.append((u, p, len(p)))
+    rows.sort()
+    overflow = max(0, len(rows) - cfg.probe_cap)
+    return rows[: cfg.probe_cap], overflow
+
+
+def _probe_scan(ds: Dataset, probes: list, cfg: ContainmentConfig) -> Dataset:
+    """One corpus pass finding every container of every broadcast probe.
+
+    Each batch joins its docs with a sentinel and either builds a suffix
+    array (many probes: O(m log n) per lookup) or runs ``bytes.find``
+    per probe; every hit is re-verified against the individual doc text
+    (kills sentinel-spanning and hash-free false positives).
+    """
+    ref = ray.put(probes)
+    sa_min = cfg.sa_min_probes
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pr = ray.get(ref)
+        if not pr or batch.num_rows == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        docs = _doc_bytes(batch["text"], cfg)
+        urls = batch["url"].to_pylist()
+        sizes = np.array([len(d) for d in docs], dtype=np.int64)
+        concat = b"\x00".join(docs)
+        # start offset of each doc in concat
+        starts = np.zeros(len(docs), dtype=np.int64)
+        if len(docs) > 1:
+            np.cumsum(sizes[:-1] + 1, out=starts[1:])
+        ua, ub = [], []
+        use_sa = len(pr) >= sa_min
+        sa = S.suffix_array(concat) if use_sa else None
+        for purl, pbytes, psize in pr:
+            if use_sa:
+                hits = S.sa_find_all(concat, sa, pbytes)
+            else:
+                hits, off = [], concat.find(pbytes)
+                while off != -1:
+                    hits.append(off)
+                    off = concat.find(pbytes, off + 1)
+                hits = np.asarray(hits, dtype=np.int64)
+            if len(hits) == 0:
+                continue
+            owners = np.unique(np.searchsorted(starts, hits, side="right") - 1)
+            for j in owners:
+                if urls[j] == purl or sizes[j] <= psize:
+                    continue
+                if pbytes in docs[j]:  # exact re-verify within the doc
+                    ua.append(purl)
+                    ub.append(urls[j])
+        return pa.table(
+            {
+                "url_a": pa.array(ua, type=pa.string()),
+                "url_b": pa.array(ub, type=pa.string()),
+                "dropped": pa.array([0] * len(ua), type=pa.int64()),
+            },
+            schema=_PAIRS_SCHEMA,
+        )
+
+    return ds.select_columns(["url", "text"]).map_batches(
+        scan, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+def _verify_pairs(ds: Dataset, pairs: Dataset, cfg: ContainmentConfig) -> Dataset:
+    """Fetch candidate texts (distributed semi-join, broadcast lookup) and
+    keep pairs where text_a occurs in text_b. Scale assumption mirrors
+    minhash._routed_verify: candidate texts fit one node; swap in the
+    routed single-shuffle join beyond that."""
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages.minhash import collect_table
+
+    t = collect_table(pairs, _PAIRS_SCHEMA)
+    if t.num_rows == 0:
+        return ray.data.from_arrow(CONTAIN_EDGES_SCHEMA.empty_table())
+    df = t.to_pandas().drop_duplicates(subset=["url_a", "url_b"])
+    urls = pc.unique(
+        pa.array(pd.concat([df["url_a"], df["url_b"]]), type=pa.string())
+    )
+
+    texts: dict[str, bytes] = {}
+    cand = semi_filter(ds.select_columns(["url", "text"]), "url", urls)
+
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "t": pa.array(_doc_bytes(batch["text"], cfg), type=pa.large_binary()),
+            }
+        )
+
+    for b in cand.map_batches(to_bytes, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for u, d in zip(b["url"].to_pylist(), b["t"].to_pylist()):
+            texts[u] = d
+    ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        ua, ub, sa_, sb = [], [], [], []
+        for x, y in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()):
+            ta, tb = lookup.get(x), lookup.get(y)
+            if ta is None or tb is None or len(ta) >= len(tb):
+                continue
+            if ta in tb:
+                ua.append(x)
+                ub.append(y)
+                sa_.append(len(ta))
+                sb.append(len(tb))
+        return pa.table(
+            {
+                "url_a": pa.array(ua, type=pa.string()),
+                "url_b": pa.array(ub, type=pa.string()),
+                "size_a": pa.array(sa_, type=pa.int64()),
+                "size_b": pa.array(sb, type=pa.int64()),
+                "kind": pa.array(["containment"] * len(ua), type=pa.string()),
+            },
+            schema=CONTAIN_EDGES_SCHEMA,
+        )
+
+    pairs_ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df[["url_a", "url_b"]], preserve_index=False)
+    )
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_edges(
+    ds: Dataset, cfg: ContainmentConfig | None = None
+) -> Dataset:
+    """pages -> exact containment edges (url_a contained in url_b).
+
+    Union of the anchor-gram path (long docs) and the broadcast probe
+    path (short docs); both exact, verified against the real texts.
+    Probes are checked against the whole corpus so probe-in-probe and
+    probe-in-anchored-doc pairs are all covered; anchored-in-probe is
+    impossible (a container is at least as long as its contained doc).
+    """
+    cfg = cfg or ContainmentConfig()
+    ds = ds.select_columns(["url", "text"])
+
+    grams = ds.map_batches(
+        lambda t: _gram_rows(t, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    anchor_pairs = bucketed_group_apply(
+        grams,
+        "gram",
+        lambda g: _pairs_bucket(g, cfg),
+        num_buckets=cfg.num_buckets,
+    )
+    anchor_edges = _verify_pairs(ds, anchor_pairs, cfg)
+
+    probes, overflow = _collect_probes(ds, cfg)
+    if overflow:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "containment probe set overflow: %d short docs not scanned "
+            "(probe_cap=%d)", overflow, cfg.probe_cap
+        )
+    if probes:
+        probe_pairs = _probe_scan(ds, probes, cfg)
+        probe_edges = _verify_pairs(ds, probe_pairs, cfg)
+        edges = anchor_edges.union(probe_edges)
+    else:
+        edges = anchor_edges
+
+    # the two paths can both surface a pair only if a doc both lacks and
+    # has anchors — impossible — but a probe occurring twice in the same
+    # container dedupes here, as do multi-anchor pair repeats already
+    # deduped in _verify_pairs; a final bucketed dedupe keeps the
+    # contract airtight
+    def dedupe(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(subset=["url_a", "url_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            CONTAIN_EDGES_SCHEMA
+        )
+
+    return bucketed_group_apply(
+        edges, "url_a", dedupe, num_buckets=cfg.num_buckets
+    )
