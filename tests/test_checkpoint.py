@@ -1,0 +1,117 @@
+"""Checkpoint/resume + lineage tests (north rule: resumable from
+checkpoint with per-partition lineage + metrics records)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from doppel_ray import config as C
+from doppel_ray.pipelines import job
+from doppel_ray.state import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory, synth_corpus):
+    d = tmp_path_factory.mktemp("pages")
+    pq.write_table(synth_corpus.pages, str(d / "pages.parquet"))
+    return str(d)
+
+
+def _groups_set(ds):
+    rows = ds.take_all()
+    return {(r["group_id"], r["count"], r["size"]) for r in rows}
+
+
+class TestFingerprints:
+    def test_chained_invalidation(self, tmp_path):
+        fp1 = ckpt.fingerprint("stage", {"a": 1}, "parent")
+        assert fp1 == ckpt.fingerprint("stage", {"a": 1}, "parent")
+        assert fp1 != ckpt.fingerprint("stage", {"a": 2}, "parent")
+        assert fp1 != ckpt.fingerprint("stage", {"a": 1}, "other-parent")
+
+    def test_input_fingerprint_tracks_mtime(self, tmp_path):
+        f = tmp_path / "x.parquet"
+        f.write_bytes(b"abc")
+        fp1 = ckpt.input_fingerprint(str(tmp_path))
+        f.write_bytes(b"abcd")
+        assert ckpt.input_fingerprint(str(tmp_path)) != fp1
+
+
+class TestResume:
+    def test_second_run_resumes_everything(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        r1 = job.run_dedup_job(corpus_dir, root, near=True)
+        assert r1.resumed_stages == []
+        assert set(r1.computed_stages) == {
+            "exact_groups",
+            "minhash_edges",
+            "clusters",
+        }
+        g1 = _groups_set(r1.groups)
+        assert g1, "synth corpus has planted exact-dup groups"
+
+        r2 = job.run_dedup_job(corpus_dir, root, near=True)
+        assert r2.computed_stages == []
+        assert set(r2.resumed_stages) == {
+            "exact_groups",
+            "minhash_edges",
+            "clusters",
+        }
+        assert _groups_set(r2.groups) == g1
+
+    def test_partial_resume_recomputes_only_missing(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        job.run_dedup_job(corpus_dir, root, near=True)
+        os.remove(os.path.join(root, "stage=clusters", ckpt.MANIFEST))
+        r = job.run_dedup_job(corpus_dir, root, near=True)
+        assert set(r.resumed_stages) == {"exact_groups", "minhash_edges"}
+        assert r.computed_stages == ["clusters"]
+
+    def test_config_change_invalidates_suffix(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        job.run_dedup_job(corpus_dir, root, near=True)
+        cfg = C.default_config()
+        cfg.dedup.threshold = 0.7
+        r = job.run_dedup_job(corpus_dir, root, cfg, near=True)
+        assert r.resumed_stages == ["exact_groups"]
+        assert set(r.computed_stages) == {"minhash_edges", "clusters"}
+
+    def test_incomplete_stage_dir_rebuilt(self, corpus_dir, tmp_path):
+        """A killed run leaves parquet without a manifest — must rebuild."""
+        root = str(tmp_path / "ck")
+        r1 = job.run_dedup_job(corpus_dir, root, near=False)
+        g1 = _groups_set(r1.groups)
+        os.remove(os.path.join(root, "stage=exact_groups", ckpt.MANIFEST))
+        r2 = job.run_dedup_job(corpus_dir, root, near=False)
+        assert r2.computed_stages == ["exact_groups"]
+        assert _groups_set(r2.groups) == g1
+
+
+class TestLineageMetrics:
+    def test_manifest_partition_lineage(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        r = job.run_dedup_job(corpus_dir, root, near=False)
+        with open(os.path.join(root, "stage=exact_groups", ckpt.MANIFEST)) as f:
+            man = json.load(f)
+        assert man["stage"] == "exact_groups"
+        assert man["rows"] == sum(p["rows"] for p in man["partitions"])
+        for p in man["partitions"]:
+            path = os.path.join(root, "stage=exact_groups", p["file"])
+            assert pq.read_metadata(path).num_rows == p["rows"]
+
+    def test_metrics_jsonl(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        job.run_dedup_job(corpus_dir, root, near=True)
+        with open(os.path.join(root, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert {r["stage"] for r in recs} == {
+            "exact_groups",
+            "minhash_edges",
+            "clusters",
+        }
+        for r in recs:
+            assert r["wall_s"] >= 0 and "partitions" in r
