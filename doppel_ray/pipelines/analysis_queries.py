@@ -1,0 +1,151 @@
+"""Text-analysis queries over the ``documents`` table: token counting,
+quality scoring/filtering, language ID, and fingerprint-based dup
+candidates. Integer-count queries carry DuckDB oracles sharing the exact
+RE2 patterns (Arrow and DuckDB both use RE2, so counts agree verbatim);
+float-ratio and heuristic outputs are rows-only with pytest contracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count
+
+from doppel_ray.functions import analysis as A
+from doppel_ray.pipelines import finalize, query
+from doppel_ray.sources.parquet import read_documents
+from doppel_ray.stages import textstats
+
+
+@query(
+    "token_stats",
+    rf"""
+    SELECT doc_id,
+           length(regexp_extract_all(text, '{A.WS_TOKEN_RE}')) AS n_tokens,
+           length(regexp_extract_all(text, '{A.BPE_TOKEN_RE}')) AS n_bpe,
+           length(regexp_extract_all(text, '{A.PUNCT_RE}')) AS n_punct
+    FROM documents
+    """,
+)
+def token_stats(sf_dir: str):
+    """Per-doc token counts: whitespace tokens, BPE-ish coarse tokens,
+    punctuation marks — identical RE2 patterns on both sides."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(A.token_counts(batch["text"], A.WS_TOKEN_RE)),
+                "n_bpe": pa.array(A.token_counts(batch["text"], A.BPE_TOKEN_RE)),
+                "n_punct": pa.array(A.token_counts(batch["text"], A.PUNCT_RE)),
+            }
+        )
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_bpe", pa.int64()),
+                ("n_punct", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "quality_filter_count",
+    rf"""
+    SELECT count(*) AS kept
+    FROM documents
+    WHERE length(regexp_extract_all(text, '{A.WS_TOKEN_RE}')) >= 10
+      AND 10 * length(regexp_extract_all(text, '{A.PUNCT_RE}')) <= length(text)
+    """,
+)
+def quality_filter_count(sf_dir: str):
+    """C4-style cheap quality gate (enough tokens, not punctuation soup),
+    as integer arithmetic so the SQL oracle is float-free."""
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        feats = A.quality_features(batch["text"])
+        keep = (feats["n_tokens"] >= 10) & (
+            10 * feats["n_punct"] <= feats["n_chars"]
+        )
+        return pa.table({"kept": pa.array([int(keep.sum())], type=pa.int64())})
+
+    import pandas as pd
+
+    parts = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    return pd.DataFrame({"kept": [sum(r["kept"] for r in parts)]})
+
+
+@query("quality_scores")  # rows-only: float ratios + composite heuristic
+def quality_scores(sf_dir: str):
+    """Per-doc quality features and composite score."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = textstats.add_quality_columns(ds).drop_columns(["text"])
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_bytes", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_punct", pa.int64()),
+                ("punct_ratio", pa.float64()),
+                ("mean_token_len", pa.float64()),
+                ("stopword_ratio", pa.float64()),
+                ("quality", pa.float64()),
+            ]
+        ),
+    )
+
+
+@query("lang_id_counts")  # rows-only: n-gram/stopword heuristic
+def lang_id_counts(sf_dir: str):
+    """Histogram of predicted languages (deterministic heuristic;
+    accuracy contract lives in tests/test_analysis.py on labeled
+    fixtures)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    pred = textstats.add_lang_id(ds).select_columns(["lang_pred"])
+    return finalize(
+        pred.groupby("lang_pred").aggregate(Count(alias_name="n")),
+        pa.schema([("lang_pred", pa.string()), ("n", pa.int64())]),
+    )
+
+
+@query(
+    "fingerprint_dup_groups",
+    """
+    SELECT min(doc_id) AS group_id, count(*) AS cnt
+    FROM documents
+    GROUP BY text
+    HAVING count(*) > 1
+    """,
+)
+def fingerprint_dup_groups(sf_dir: str):
+    """Winnowing-fingerprint dup candidates, verified by full content
+    hash so the surviving groups coincide with identical-text groups
+    (the fingerprint is a pre-filter: identical texts always share a
+    fingerprint, so verification loses nothing — same cascade shape as
+    quick-hash -> full-hash, reference finder.go:68-106)."""
+    from ray.data.aggregate import Min
+
+    from doppel_ray.stages import exact, hashes
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    fp = textstats.add_fingerprints(ds)
+    pruned = exact.prune_singletons(fp, "fingerprint")
+    full = hashes.add_content_hash(pruned)
+    g = full.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="group_id"), Count(alias_name="cnt")
+    )
+    groups = g.filter(expr="cnt > 1").select_columns(["group_id", "cnt"])
+    return finalize(
+        groups, pa.schema([("group_id", pa.int64()), ("cnt", pa.int64())])
+    )

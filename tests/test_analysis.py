@@ -1,0 +1,126 @@
+"""Text-analysis tests: Arrow/DuckDB RE2 count agreement (the oracle
+contract), quality features, language-ID accuracy on labeled fixtures,
+and fingerprint invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from doppel_ray.functions import analysis as A
+from doppel_ray.stages import textstats
+
+SAMPLES = [
+    "The cat and the dog sat on the mat.",
+    "",
+    "   ",
+    "one",
+    "héllo wörld! ça va? 100% sûr...",
+    "a b  c\td\ne",
+    "!!! ??? ...",
+    "x" * 500,
+]
+
+
+class TestTokenCounts:
+    def test_matches_duckdb_re2(self):
+        """The exact patterns shipped to the SQL oracles must count
+        identically in DuckDB on arbitrary unicode input."""
+        con = duckdb.connect()
+        arr = pa.array(SAMPLES)
+        for pattern in (A.WS_TOKEN_RE, A.BPE_TOKEN_RE, A.PUNCT_RE):
+            ours = A.token_counts(arr, pattern).tolist()
+            theirs = [
+                con.execute(
+                    "SELECT length(regexp_extract_all(?, ?))", [s, pattern]
+                ).fetchone()[0]
+                for s in SAMPLES
+            ]
+            assert ours == theirs, pattern
+
+    def test_basic_counts(self):
+        arr = pa.array(["a b  c", "", "one two three four"])
+        assert A.token_counts(arr).tolist() == [3, 0, 4]
+
+
+class TestQuality:
+    def test_features_shapes_and_ranges(self):
+        arr = pa.array(SAMPLES)
+        f = A.quality_features(arr)
+        n = len(SAMPLES)
+        for k, v in f.items():
+            assert len(v) == n, k
+        assert (f["punct_ratio"] >= 0).all() and (f["punct_ratio"] <= 1).all()
+        assert f["n_tokens"][1] == 0 and f["punct_ratio"][1] == 0.0
+        q = A.quality_score(f)
+        assert ((q >= 0) & (q <= 1)).all()
+
+    def test_score_orders_sensibly(self):
+        good = "the quick brown fox jumps over the lazy dog " * 10
+        junk = "!@# $%^ &*( )!@ #$% " * 10
+        q = A.quality_score(A.quality_features(pa.array([good, junk])))
+        assert q[0] > q[1]
+
+    def test_stopword_counts(self):
+        arr = pa.array(["the The THE a an", "zero matches present?", "it was not"])
+        got = A.stopword_counts(arr)
+        assert got.tolist() == [5, 0, 3]
+
+
+class TestLangID:
+    def test_labeled_fixture_accuracy(self):
+        fixtures = {
+            "en": "The cat and the dog sat on the mat with a hat for it was warm.",
+            "de": "Der Hund und die Katze sind nicht mit der Maus zu dem Haus.",
+            "fr": "Le chat et le chien sont dans la maison avec une souris pour le fromage.",
+            "es": "El perro y el gato están en la casa con un ratón para el queso.",
+            "it": "Il cane e il gatto sono nella casa con un topo per il formaggio e non si sa.",
+            "pt": "O cachorro e o gato estão em uma casa com um rato para o queijo e mais.",
+            "nl": "De hond en de kat zijn in het huis met een muis voor de kaas en ik ben je.",
+            "zh": "你好世界这是一个测试文档中文内容很多",
+            "ru": "Привет мир это тестовый документ на русском языке",
+        }
+        pred = A.lang_id(pa.array(list(fixtures.values())))
+        assert list(pred) == list(fixtures.keys())
+
+    def test_garbage_is_und(self):
+        pred = A.lang_id(pa.array(["zzz qqq xxx www", ""]))
+        assert list(pred) == ["und", "und"]
+
+
+class TestFingerprints:
+    def test_identical_texts_share_fingerprint(self):
+        arr = pa.array(["some document text here"] * 2 + ["different entirely!"])
+        fp = A.doc_fingerprints(arr)
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+
+    def test_contained_doc_fp_among_container_windows(self):
+        from doppel_ray.functions import suffix as S
+
+        inner = "a distinctive inner fragment of reasonable length"
+        outer = "prefix material " + inner + " suffix material"
+        fp = A.doc_fingerprints(pa.array([inner]))
+        wh = S.window_hashes(outer.encode(), 16)
+        assert fp[0] in wh
+
+    def test_short_and_empty_docs(self):
+        fp = A.doc_fingerprints(pa.array(["", "ab", "ab"]))
+        assert fp[1] == fp[2]
+
+
+class TestStages:
+    def test_add_quality_columns(self, ray_session):
+        ds = rd.from_arrow(pa.table({"url": ["a", "b"], "text": ["hi there", ""]}))
+        out = textstats.add_quality_columns(ds).take_all()
+        assert {"n_chars", "quality", "stopword_ratio"} <= set(out[0].keys())
+
+    def test_add_lang_id_and_fingerprints(self, ray_session):
+        ds = rd.from_arrow(
+            pa.table({"url": ["a"], "text": ["the cat and the dog sat for it"]})
+        )
+        out = textstats.add_fingerprints(textstats.add_lang_id(ds)).take_all()
+        assert out[0]["lang_pred"] == "en"
+        assert isinstance(out[0]["fingerprint"], int)
