@@ -161,3 +161,70 @@ def containment_pairs(sf_dir: str):
             "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+@query(
+    "ann_topk",
+    """
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id
+    FROM embeddings q JOIN embeddings x ON x.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding, x.embedding) DESC,
+                 x.vec_id
+    ) <= 10
+    """,
+)
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 8 vectors as queries
+    (broadcast query matrix, one matmul per batch, bucketed merge).
+    Integer-only output: the empirical k-boundary margin (>=1e-3 at
+    sf0.01) dwarfs DuckDB's float32 accumulation noise (~2e-7), so the
+    neighbor SET is oracle-stable."""
+    import numpy as np
+
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages import ann
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qrows = ds.filter(expr="vec_id < 8").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    out = ann.cosine_topk(ds, qm, qids, k=10)
+    rows = out.take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array(
+                [r["neighbor_id"] for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+@query(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+)
+def embedding_near_dup(sf_dir: str):
+    """Random-hyperplane LSH candidates + exact float64 cosine verify at
+    tau=0.45 (empirical margin to the threshold ~5e-4 at sf0.01 >>
+    float32 noise; P(LSH miss) < 1e-5 at this angle with r=4, b=64)."""
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages import ann
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    edges = ann.embedding_near_dup_edges(ds, ann.CosineLSHConfig(threshold=0.45))
+    rows = edges.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
+        }
+    )

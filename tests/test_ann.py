@@ -1,0 +1,107 @@
+"""Similarity-search tests: zero-copy matrix extraction, exact top-k vs
+numpy brute force across multiple blocks, and hyperplane-LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from doppel_ray.stages import ann
+
+
+def _vec_table(emb: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(emb)), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in emb],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+class TestBatchMatrix:
+    def test_roundtrip(self):
+        emb = np.random.default_rng(0).standard_normal((10, 4))
+        t = _vec_table(emb)
+        m = ann.batch_matrix(t["embedding"])
+        np.testing.assert_allclose(m, emb.astype(np.float32), rtol=1e-6)
+
+    def test_sliced_offsets(self):
+        emb = np.random.default_rng(0).standard_normal((10, 4))
+        t = _vec_table(emb).slice(3, 5)
+        m = ann.batch_matrix(t["embedding"])
+        np.testing.assert_allclose(m, emb[3:8].astype(np.float32), rtol=1e-6)
+
+
+class TestTopK:
+    def test_exact_vs_brute_force(self, ray_session):
+        rng = np.random.default_rng(7)
+        emb = rng.standard_normal((300, 16))
+        t = _vec_table(emb)
+        ds = rd.from_arrow(t).repartition(7)  # force multi-block merge
+        qids = np.array([0, 5, 17], dtype=np.int64)
+        out = ann.cosine_topk(ds, emb[qids], qids, k=5).take_all()
+
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = en @ en[qids].T
+        sims[qids[None, :] == np.arange(len(emb))[:, None]] = -2
+        for col, qid in enumerate(qids):
+            want = set(np.argsort(-sims[:, col])[:5].tolist())
+            got = {
+                r["neighbor_id"]
+                for r in out
+                if r["query_id"] == qid
+            }
+            assert got == want, qid
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == qids[0])
+        assert ranks == [1, 2, 3, 4, 5]
+
+    def test_k_larger_than_corpus(self, ray_session):
+        emb = np.random.default_rng(1).standard_normal((4, 8))
+        ds = rd.from_arrow(_vec_table(emb))
+        out = ann.cosine_topk(ds, emb[:1], np.array([0]), k=10).take_all()
+        assert len(out) == 3  # self excluded
+
+
+class TestCosineLSH:
+    def test_recall_vs_brute_force(self, ray_session):
+        """Clustered vectors: every pair >= tau must be found (the miss
+        probability at these settings is ~1e-5 per pair)."""
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((10, 32)) * 3
+        emb = np.vstack(
+            [c + 0.4 * rng.standard_normal((20, 32)) for c in centers]
+        )
+        t = _vec_table(emb)
+        tau = 0.8
+        cfg = ann.CosineLSHConfig(threshold=tau, num_buckets=8)
+        edges = ann.embedding_near_dup_edges(
+            rd.from_arrow(t).repartition(5), cfg
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in edges}
+
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = en @ en.T
+        iu = np.triu_indices(len(emb), 1)
+        truth = {
+            (int(a), int(b))
+            for a, b in zip(*[x[sims[iu] >= tau] for x in iu])
+        }
+        assert truth, "fixture must contain dup pairs"
+        missed = truth - got
+        assert len(missed) / len(truth) <= 0.01, f"recall too low: {missed}"
+        assert got <= truth, "false positives escaped exact verification"
+        for r in edges:
+            assert r["similarity"] >= tau
+
+    def test_empty_result(self, ray_session):
+        rng = np.random.default_rng(4)
+        emb = rng.standard_normal((40, 16)) * 5  # essentially orthogonal
+        cfg = ann.CosineLSHConfig(threshold=0.999, num_buckets=4)
+        edges = ann.embedding_near_dup_edges(
+            rd.from_arrow(_vec_table(emb)), cfg
+        ).take_all()
+        assert edges == []
