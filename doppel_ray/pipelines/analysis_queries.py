@@ -149,3 +149,43 @@ def fingerprint_dup_groups(sf_dir: str):
     return finalize(
         groups, pa.schema([("group_id", pa.int64()), ("cnt", pa.int64())])
     )
+
+
+@query("media_features")  # rows-only: binary payloads, no SQL analog
+def media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: deterministic synthetic RAWI
+    payloads (binary column + typed metadata) through the actor-pool
+    decode -> resize -> featurize stages; returns (media_id, height,
+    width, channels, feat) with a stable schema."""
+    import ray.data as rd
+
+    from doppel_ray.stages import multimodal as M
+
+    n = 48
+    t = pa.table(
+        {
+            "media_id": pa.array([f"m{i:04d}" for i in range(n)]),
+            "image": pa.array(
+                [
+                    M.fake_image_bytes(16 + (i % 4) * 8, 16 + (i % 3) * 8, 3, seed=i)
+                    for i in range(n)
+                ],
+                type=pa.binary(),
+            ),
+            "media_type": pa.array(["image/rawi"] * n),
+        }
+    )
+    out = M.decode_resize_featurize(
+        rd.from_arrow(t), M.MediaPipelineConfig(concurrency=2)
+    ).drop_columns(["pixels"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["media_id"])
+    return pa.table(
+        {
+            "media_id": pa.array([r["media_id"] for r in rows]),
+            "height": pa.array([r["height"] for r in rows], type=pa.int64()),
+            "width": pa.array([r["width"] for r in rows], type=pa.int64()),
+            "channels": pa.array([r["channels"] for r in rows], type=pa.int64()),
+            "feat": pa.array([list(map(float, r["feat"])) for r in rows], type=pa.list_(pa.float32())),
+        }
+    )
