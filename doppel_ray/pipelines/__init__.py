@@ -60,6 +60,10 @@ def _load() -> None:
     except ImportError:
         pass
     try:
+        from doppel_ray.pipelines import events_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from doppel_ray.pipelines import similarity_queries  # noqa: F401
     except ImportError:
         pass

@@ -228,3 +228,30 @@ def embedding_near_dup(sf_dir: str):
             "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
         }
     )
+
+
+@query("ivf_topk")  # rows-only: approximate (n_probe < n_clusters)
+def ivf_topk(sf_dir: str):
+    """IVF scale path: coarse k-means quantizer (driver-trained on a
+    sample, broadcast), per-batch cell pruning to n_probe cells per
+    query, then the same partial-top-k merge as the exhaustive baseline.
+    Recall vs brute force is pinned in tests/test_ann.py."""
+    import numpy as np
+
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages import ann
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qrows = ds.filter(expr="vec_id < 8").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    cfg = ann.IVFConfig(n_clusters=16, n_probe=4)
+    rows = ann.ivf_topk(ds, qm, qids, k=10, cfg=cfg).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r["neighbor_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+        }
+    )

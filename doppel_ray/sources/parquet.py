@@ -93,3 +93,9 @@ def read_embeddings(sf_dir: str, *, columns: list[str] | None = None) -> Dataset
     return rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=columns
     )
+
+
+def read_events(sf_dir: str, *, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )

@@ -305,3 +305,132 @@ def embedding_near_dup_edges(
         pa.Table.from_pandas(df[["id_a", "id_b"]], preserve_index=False)
     )
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# -- IVF (inverted-file) scale path ------------------------------------
+
+@dataclass(frozen=True)
+class IVFConfig:
+    n_clusters: int = 16
+    n_probe: int = 4          # clusters searched per query
+    train_sample: int = 4096  # vectors sampled to the driver for k-means
+    kmeans_iters: int = 12
+    seed: int = 42
+
+
+def train_ivf_centroids(ds: Dataset, cfg: IVFConfig, *, vec_col: str = "embedding") -> np.ndarray:
+    """Sample vectors to the driver and run a few Lloyd iterations — the
+    classic IVF coarse quantizer. The sample (not the corpus) bounds
+    driver memory; at 100 TB this is exactly how FAISS-style IVF trains."""
+    frac = min(1.0, cfg.train_sample / max(1, ds.count()))
+    sample = ds.random_sample(frac, seed=cfg.seed) if frac < 1.0 else ds
+    mats = [
+        batch_matrix(b[vec_col])
+        for b in sample.iter_batches(batch_format="pyarrow")
+    ]
+    x = _normalize(np.vstack([m for m in mats if m.size]))
+    rng = np.random.default_rng(cfg.seed)
+    k = min(cfg.n_clusters, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(cfg.kmeans_iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine assignment
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def ivf_topk(
+    ds: Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    cfg: IVFConfig | None = None,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Approximate top-k: corpus rows are pruned to the ``n_probe``
+    centroid cells nearest each query BEFORE the scoring matmul — the
+    per-batch cost drops from O(rows x queries) to
+    O(rows x queries x n_probe / n_clusters) while recall stays high for
+    clustered data. Same partial-top-k + bucketed-merge shape as
+    ``cosine_topk`` (exhaustive baseline); this is the documented scale
+    path, trading bounded recall loss for the pruning."""
+    cfg = cfg or IVFConfig()
+    cent = train_ivf_centroids(ds, cfg, vec_col=vec_col)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    n_probe = min(cfg.n_probe, len(cent))
+    # cells each query probes: (q, n_probe)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qn, qids, cent, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, ids, c, pr = ray.get(ref)
+        x = batch_matrix(batch[vec_col])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "similarity": pa.array([], type=pa.float64()),
+            }
+        )
+        if x.shape[0] == 0:
+            return empty
+        xn = _normalize(x)
+        vid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.argmax(xn @ c.T, axis=1)  # (n,)
+        out_q, out_n, out_s = [], [], []
+        for col, qid in enumerate(ids):
+            mask = np.isin(cell, pr[col])
+            if exclude_self:
+                mask &= vid != qid
+            if not mask.any():
+                continue
+            sims = xn[mask] @ q[col]
+            sub_ids = vid[mask]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_n.extend(sub_ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "similarity": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        out = []
+        for qid, grp in df.groupby("query_id", sort=False):
+            grp = grp.sort_values(
+                ["similarity", "neighbor_id"], ascending=[False, True]
+            ).head(k)
+            grp = grp.assign(rank=np.arange(1, len(grp) + 1))
+            out.append(grp)
+        if not out:
+            return ANN_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(out)[["query_id", "neighbor_id", "similarity", "rank"]],
+            preserve_index=False,
+        ).cast(ANN_SCHEMA)
+
+    return bucketed_group_apply(partials, "query_id", merge, num_buckets=num_buckets)

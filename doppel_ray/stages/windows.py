@@ -1,0 +1,116 @@
+"""Windowed aggregates and gap-based sessionization over event streams.
+
+Ray Data has no native window operator; both are expressed as the
+composition the platform does support (SURVEY.md custom-operator rule):
+
+* tumbling windows: a stateless ``map_batches`` assigns the window key
+  (pure Arrow temporal kernel), then an ordinary ``groupby`` shuffle
+  aggregates — i.e. a window IS a group-by on floor(ts).
+* session windows: bucketed shuffle on ``user_id`` (all of a user's
+  events co-locate), then a vectorized per-user pass — sort by
+  (ts, id), gaps > timeout start new sessions (cumsum of gap flags).
+  Partitioning assumption (documented): one user's events fit a
+  bucket's memory; salting a pathological mega-user would split its
+  sessions and is deliberately NOT done.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from doppel_ray.stages.exact import bucketed_group_apply
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("session_start_us", pa.int64()),
+        ("session_end_us", pa.int64()),
+    ]
+)
+
+
+def add_tumbling_window(
+    ds: Dataset,
+    *,
+    ts_col: str = "ts",
+    every: str = "hour",
+    out_col: str = "window_start",
+) -> Dataset:
+    """Append the tumbling-window start column via Arrow's
+    ``floor_temporal`` (zero-copy, no Python per row)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch[ts_col], unit=every)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, w)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+    num_buckets: int = 32,
+) -> Dataset:
+    """events -> one row per (user, session): gap-based session windows.
+
+    ``session_id`` numbers a user's sessions in time order starting at 1;
+    ties on ts are broken by ``id_col`` so output is deterministic.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return SESSION_SCHEMA.empty_table()
+        df = g.select([user_col, ts_col, id_col]).to_pandas()
+        df["_us"] = df[ts_col].astype("int64")  # datetime64[us] -> micros
+        df = df.sort_values([user_col, "_us", id_col], kind="mergesort")
+        us = df["_us"].to_numpy()
+        uid = df[user_col].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0] = True
+        gap[1:] = (us[1:] - us[:-1]) > gap_us
+        new_sess = new_user | gap
+        # per-user session numbering: global cumsum minus the user's base
+        sess_global = np.cumsum(new_sess)
+        base = pd.Series(sess_global - 1).where(pd.Series(new_user)).ffill()
+        df["_sess"] = sess_global - base.to_numpy().astype(np.int64)
+        out = (
+            df.groupby([user_col, "_sess"], sort=True)
+            .agg(
+                n_events=(id_col, "size"),
+                session_start_us=("_us", "min"),
+                session_end_us=("_us", "max"),
+            )
+            .reset_index()
+            .rename(columns={"_sess": "session_id"})
+        )
+        return pa.Table.from_pandas(
+            out[
+                [
+                    user_col,
+                    "session_id",
+                    "n_events",
+                    "session_start_us",
+                    "session_end_us",
+                ]
+            ],
+            preserve_index=False,
+        ).cast(SESSION_SCHEMA)
+
+    return bucketed_group_apply(ds, user_col, per_bucket, num_buckets=num_buckets)

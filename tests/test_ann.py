@@ -105,3 +105,38 @@ class TestCosineLSH:
             rd.from_arrow(_vec_table(emb)), cfg
         ).take_all()
         assert edges == []
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, ray_session):
+        """n_probe == n_clusters searches every cell -> must equal the
+        exhaustive baseline exactly."""
+        rng = np.random.default_rng(11)
+        emb = rng.standard_normal((200, 16))
+        ds = rd.from_arrow(_vec_table(emb)).repartition(5)
+        qids = np.array([1, 7], dtype=np.int64)
+        cfg = ann.IVFConfig(n_clusters=8, n_probe=8)
+        got = ann.ivf_topk(ds, emb[qids], qids, k=5, cfg=cfg).take_all()
+        want = ann.cosine_topk(ds, emb[qids], qids, k=5).take_all()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(
+            [(r["query_id"], r["neighbor_id"]) for r in got]
+        ) == sorted([(r["query_id"], r["neighbor_id"]) for r in want])
+
+    def test_partial_probe_recall_on_clustered_data(self, ray_session):
+        rng = np.random.default_rng(12)
+        centers = rng.standard_normal((8, 32)) * 4
+        emb = np.vstack([c + 0.3 * rng.standard_normal((30, 32)) for c in centers])
+        ds = rd.from_arrow(_vec_table(emb)).repartition(4)
+        qids = np.arange(0, 240, 60, dtype=np.int64)
+        cfg = ann.IVFConfig(n_clusters=8, n_probe=2, train_sample=240)
+        got = ann.ivf_topk(ds, emb[qids], qids, k=10, cfg=cfg).take_all()
+        want = ann.cosine_topk(ds, emb[qids], qids, k=10).take_all()
+        gw = {}
+        for r in want:
+            gw.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        gg = {}
+        for r in got:
+            gg.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [len(gg.get(q, set()) & gw[q]) / len(gw[q]) for q in gw]
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
