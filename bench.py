@@ -22,6 +22,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 BENCH_DIR = f"/tmp/doppel_ray_bench/pages_{BENCH_DOCS}_seed42"
+# --scaling runs the headline pipelines in scale_mode (every stage
+# distributed, no driver-side data paths — the multi-node configuration)
+# on a larger corpus so compute dominates fixed coordination costs
+SCALE_MODE = os.environ.get("BENCH_SCALE_MODE", "0") == "1"
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "400000"))
 
 
 def ensure_bench_corpus() -> str:
@@ -67,6 +72,7 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     n_pages = 0
+    mh_cfg = minhash.MinHashConfig(scale_mode=SCALE_MODE)
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -74,33 +80,36 @@ def run_bench() -> dict:
         queries[name] = round(time.monotonic() - t0, 3)
         return out
 
-    # 1. exact cascade over the driver-provided documents table
-    def q_exact_documents():
-        ds = read_documents(SF_DIR, columns=["doc_id", "text"])
-        return exact.exact_duplicate_groups(ds, id_col="doc_id").count()
+    if not SCALE_MODE:
+        # 1. exact cascade over the driver-provided documents table
+        def q_exact_documents():
+            ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+            return exact.exact_duplicate_groups(ds, id_col="doc_id").count()
 
-    timed("exact_documents", q_exact_documents)
+        timed("exact_documents", q_exact_documents)
 
-    # 2. near-dup LSH over documents
-    def q_near_documents():
-        ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+        # 2. near-dup LSH over documents
+        def q_near_documents():
+            ds = read_documents(SF_DIR, columns=["doc_id", "text"])
 
-        def to_pages(b):
-            import pyarrow as pa
+            def to_pages(b):
+                import pyarrow as pa
 
-            return pa.table(
-                {
-                    "url": pa.array([f"{i:012d}" for i in b["doc_id"].to_pylist()]),
-                    "text": b["text"],
-                }
-            )
+                return pa.table(
+                    {
+                        "url": pa.array(
+                            [f"{i:012d}" for i in b["doc_id"].to_pylist()]
+                        ),
+                        "text": b["text"],
+                    }
+                )
 
-        pages = ds.map_batches(to_pages, batch_format="pyarrow")
-        return minhash.near_dup_edges(pages, minhash.MinHashConfig()).count()
+            pages = ds.map_batches(to_pages, batch_format="pyarrow")
+            return minhash.near_dup_edges(pages, minhash.MinHashConfig()).count()
 
-    timed("near_documents", q_near_documents)
+        timed("near_documents", q_near_documents)
 
-    # 3. exact cascade over the 200k synthetic page corpus (headline)
+    # 3. exact cascade over the synthetic page corpus (headline)
     def q_exact_pages():
         nonlocal n_pages
         ds = read_pages(bench_dir)
@@ -112,7 +121,7 @@ def run_bench() -> dict:
     # 4. near-dup LSH + clustering over the synthetic corpus (headline)
     def q_near_pages():
         ds = read_pages(bench_dir)
-        edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
+        edges = minhash.near_dup_edges(ds, mh_cfg)
         labels = cluster_mod.cluster_edges(edges)
         return len(labels)
 
@@ -136,7 +145,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SCALE_MODE="1",
+            BENCH_DOCS=str(SCALING_DOCS),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

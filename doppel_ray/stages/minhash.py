@@ -78,10 +78,20 @@ class MinHashConfig:
     verify_mode: str = "jaccard"
     num_buckets: int = 64    # band-key shuffle buckets (~2-4x total CPUs)
     batch_size: int = 2048
-    # candidate-doc count above which verification switches from the
-    # broadcast lookup (one ray.put, fastest when the lookup is small) to
-    # the fully-distributed bucketed join (no single-node bound)
+    # candidate-doc count below which the verify lookup is broadcast via
+    # ray.put and the pair loop runs distributed (fastest when small)
     broadcast_limit: int = 20000
+    # candidate-doc count below which the lookup is computed distributed
+    # but kept driver-local and pairs verified on the driver (C-speed
+    # loop); above this the fully-distributed routed bucketed join runs
+    # (no single-node bound)
+    driver_verify_limit: int = 1_000_000
+    # True = NO driver-side data paths at all: bucketed distributed pair
+    # dedupe + two-pass distributed hash-join verification. Slightly
+    # slower at small scale (extra shuffles) but every stage's cost
+    # parallelizes — the configuration the N->4N scaling criterion and
+    # true multi-node runs use.
+    scale_mode: bool = False
 
     @property
     def rows_per_band(self) -> int:
@@ -161,14 +171,14 @@ def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
                 ub.append(urls[i + 1])
                 dropped.append(0)
             dropped[-(m - 1)] = total - (m - 1)
-    return pa.table(
-        {
-            "url_a": pa.array(ua, type=pa.string()),
-            "url_b": pa.array(ub, type=pa.string()),
-            "dropped": pa.array(dropped, type=pa.int64()),
-        },
-        schema=PAIRS_SCHEMA,
-    )
+    # same pair from several bands in this bucket: dedupe HERE so the
+    # downstream (driver or shuffle) dedupe sees ~pairs, not pairs x bands
+    # (measured 3.3M -> ~0.15M rows on the 200k-doc bench)
+    out = pd.DataFrame({"url_a": ua, "url_b": ub, "dropped": dropped})
+    out = out.groupby(["url_a", "url_b"], sort=False, as_index=False)[
+        "dropped"
+    ].sum()
+    return pa.Table.from_pandas(out, preserve_index=False).cast(PAIRS_SCHEMA)
 
 
 def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
@@ -215,8 +225,13 @@ def shingle_sets_for(
     for b in cand.map_batches(to_sets, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        for u, s in zip(b["url"].to_pylist(), b["shingles"].to_pylist()):
-            out[u] = np.asarray(s, dtype=np.int64).view(np.uint64)
+        # zero-copy ragged gather: slice the list column's values buffer
+        # by offsets instead of materializing 10^7s of Python ints
+        col = b["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy()
+        vals = col.values.to_numpy(zero_copy_only=False).view(np.uint64)
+        for i, u in enumerate(b["url"].to_pylist()):
+            out[u] = vals[offs[i] : offs[i + 1]]
     return out
 
 
@@ -422,6 +437,170 @@ def _routed_verify(
     )
 
 
+def _distributed_verify(ds: Dataset, pairs: Dataset, cfg: MinHashConfig) -> Dataset:
+    """Fully-distributed verification: classic two-pass bucketed hash
+    join. Pass 1 co-locates each pair with text_a (bucket on url_a ==
+    texts' url); pass 2 the same for text_b; a final stateless
+    ``map_batches`` recomputes both shingle sets with the vectorized
+    kernel and keeps pairs >= tau. No driver-side data structure of any
+    size — the configuration for true multi-node scale, where even the
+    deduped pair list exceeds driver memory."""
+    texts = ds.select_columns(["url", "text"])
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "join_key": batch["url_a"],
+                "url_a": batch["url_a"],
+                "url_b": batch["url_b"],
+                "text_a": pa.nulls(n, type=pa.large_string()),
+            }
+        )
+
+    def tag_texts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "join_key": batch["url"],
+                "url_a": pa.nulls(n, type=pa.string()),
+                "url_b": pa.nulls(n, type=pa.string()),
+                "text_a": pc.cast(batch["text"], pa.large_string()),
+            }
+        )
+
+    def join_a(g: pa.Table) -> pa.Table:
+        is_text = pc.is_valid(g["text_a"])
+        tx = g.filter(is_text)
+        pr = g.filter(pc.invert(is_text))
+        if pr.num_rows == 0:
+            return pa.table(
+                {
+                    "join_key": pa.array([], type=pa.string()),
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "text_a": pa.array([], type=pa.large_string()),
+                }
+            )
+        # all copies of a pair share url_a => they are all in this bucket:
+        # dedupe here instead of a dedicated dedupe shuffle
+        pdf = pr.select(["url_a", "url_b"]).to_pandas().drop_duplicates()
+        lookup = dict(zip(tx["join_key"].to_pylist(), tx["text_a"].to_pylist()))
+        ta = [lookup.get(u) for u in pdf["url_a"]]
+        return pa.table(
+            {
+                "join_key": pa.array(pdf["url_b"], type=pa.string()),  # pass-2 key
+                "url_a": pa.array(pdf["url_a"], type=pa.string()),
+                "url_b": pa.array(pdf["url_b"], type=pa.string()),
+                "text_a": pa.array(ta, type=pa.large_string()),
+            }
+        )
+
+    u1 = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        texts.map_batches(tag_texts, batch_format="pyarrow")
+    )
+    joined_a = bucketed_group_apply(
+        u1, "join_key", join_a, num_buckets=cfg.num_buckets
+    )
+
+    def tag_joined(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(
+            "text_b", pa.nulls(n, type=pa.large_string())
+        )
+
+    def tag_texts_b(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "join_key": batch["url"],
+                "url_a": pa.nulls(n, type=pa.string()),
+                "url_b": pa.nulls(n, type=pa.string()),
+                "text_a": pa.nulls(n, type=pa.large_string()),
+                "text_b": pc.cast(batch["text"], pa.large_string()),
+            }
+        )
+
+    def join_b(g: pa.Table) -> pa.Table:
+        is_text = pc.is_valid(g["text_b"])
+        tx = g.filter(is_text)
+        pr = g.filter(pc.invert(is_text))
+        if pr.num_rows == 0:
+            return pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "text_a": pa.array([], type=pa.large_string()),
+                    "text_b": pa.array([], type=pa.large_string()),
+                }
+            )
+        lookup = dict(zip(tx["join_key"].to_pylist(), tx["text_b"].to_pylist()))
+        tb = [lookup.get(u) for u in pr["url_b"].to_pylist()]
+        return pa.table(
+            {
+                "url_a": pr["url_a"],
+                "url_b": pr["url_b"],
+                "text_a": pr["text_a"],
+                "text_b": pa.array(tb, type=pa.large_string()),
+            }
+        )
+
+    u2 = joined_a.map_batches(tag_joined, batch_format="pyarrow").union(
+        texts.map_batches(tag_texts_b, batch_format="pyarrow")
+    )
+    joined = bucketed_group_apply(
+        u2, "join_key", join_b, num_buckets=cfg.num_buckets
+    )
+
+    threshold, mode = cfg.threshold, cfg.verify_mode
+    shingle_n, normalize = cfg.shingle_n, cfg.normalize
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("url_a", pa.string()),
+                ("url_b", pa.string()),
+                ("similarity", pa.float64()),
+            ]
+        )
+        ok = pc.and_(pc.is_valid(batch["text_a"]), pc.is_valid(batch["text_b"]))
+        batch = batch.filter(ok)
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        if mode == "exact":
+            from doppel_ray.functions import hashing
+
+            ha = hashing.content_hash(batch["text_a"])
+            hb = hashing.content_hash(batch["text_b"])
+            sims = np.array(
+                [1.0 if x == y else 0.0 for x, y in zip(ha, hb)]
+            )
+        else:
+            docs_a = _doc_bytes(batch["text_a"], cfg)
+            docs_b = _doc_bytes(batch["text_b"], cfg)
+            sets_a = T.unique_shingles(docs_a, shingle_n)
+            sets_b = T.unique_shingles(docs_b, shingle_n)
+            sims = np.array(
+                [
+                    1.0
+                    if len(sa) == 0 and len(sb) == 0
+                    else T.exact_jaccard(sa, sb)
+                    for sa, sb in zip(sets_a, sets_b)
+                ]
+            )
+        keep = pa.array(sims >= threshold)
+        return pa.table(
+            {
+                "url_a": batch["url_a"].filter(keep),
+                "url_b": batch["url_b"].filter(keep),
+                "similarity": pa.array(sims).filter(keep),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def _unique_pair_urls(pairs: Dataset) -> pa.Array:
     """Distinct urls appearing in any candidate pair (vectorized collect)."""
     t = collect_table(pairs.select_columns(["url_a", "url_b"]))
@@ -445,30 +624,83 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     """
     cfg = cfg or MinHashConfig()
     pairs = candidate_pairs(ds, cfg)
-    pairs = dedupe_pairs(pairs, cfg.num_buckets).materialize()
-    cand_urls = _unique_pair_urls(pairs)
-    if len(cand_urls) == 0:
-        return ray.data.from_arrow(EDGES_SCHEMA.empty_table())
-    pairs = pairs.drop_columns(["dropped"])
+    if cfg.scale_mode:
+        # no separate dedupe shuffle: every copy of a pair shares url_a,
+        # so join pass 1 (bucketed on url_a) co-locates and dedupes them
+        edges = _distributed_verify(ds, pairs.drop_columns(["dropped"]), cfg)
 
-    if len(cand_urls) <= cfg.broadcast_limit:
+        def tag_scale(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "kind", pa.array(["minhash"] * batch.num_rows, type=pa.string())
+            )
+
+        return edges.map_batches(tag_scale, batch_format="pyarrow")
+    # candidate pairs are already per-bucket-deduped; the residual
+    # cross-bucket duplicates (a pair appears in one bucket only — bucket
+    # is a function of url_a+band? no: bucket is hash(band_key), so the
+    # same pair CAN recur across buckets) are folded here in one
+    # vectorized driver pass — measured far cheaper than a second
+    # all-to-all sort of the pair rows. Documented scale bound: the
+    # DEDUPED pair list fits the driver (same assumption as the routing
+    # map); beyond that reinstate the bucketed dedupe_pairs() stage.
+    pairs_t = collect_table(pairs, PAIRS_SCHEMA)
+    if pairs_t.num_rows == 0:
+        return ray.data.from_arrow(EDGES_SCHEMA.empty_table())
+    pdf = (
+        pairs_t.to_pandas()
+        .groupby(["url_a", "url_b"], sort=False, as_index=False)["dropped"]
+        .sum()
+    )
+    both = pa.array(pd.concat([pdf["url_a"], pdf["url_b"]]), type=pa.string())
+    cand_urls = pc.unique(both)
+
+    if len(cand_urls) <= cfg.driver_verify_limit:
+        # shingle sets computed DISTRIBUTED (semi-filtered corpus scan,
+        # vectorized kernel), streamed to the driver; the pair loop
+        # itself is a few C-speed intersect1d calls per thousand pairs.
+        # Below broadcast_limit the loop is shipped back out via ray.put
+        # (cheap); above it the lookup stays driver-local — shipping a
+        # multi-GB pickle to every worker process costs more than the
+        # loop (measured: 118k pairs verify in ~2s on the driver vs ~21s
+        # for the bucketed-shuffle join it replaces at 200k docs).
         if cfg.verify_mode == "exact":
             lookup = content_hashes_for(ds, cand_urls)
         else:
             lookup = shingle_sets_for(ds, cand_urls, cfg)
-        ref = ray.put(lookup)
-        threshold, mode = cfg.threshold, cfg.verify_mode
-
-        def verify(batch: pa.Table) -> pa.Table:
-            return _verify_batch(batch, ray.get(ref), threshold, mode)
-
-        edges = pairs.map_batches(verify, batch_format="pyarrow")
-    else:
-        pairs_t = collect_table(
-            pairs,
-            pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        pairs_tbl = pa.table(
+            {
+                "url_a": pa.array(pdf["url_a"], type=pa.string()),
+                "url_b": pa.array(pdf["url_b"], type=pa.string()),
+            }
         )
-        edges = _routed_verify(ds, pairs_t, cfg)
+        if len(cand_urls) <= cfg.broadcast_limit:
+            ref = ray.put(lookup)
+            threshold, mode = cfg.threshold, cfg.verify_mode
+
+            def verify(batch: pa.Table) -> pa.Table:
+                return _verify_batch(batch, ray.get(ref), threshold, mode)
+
+            edges = ray.data.from_arrow(pairs_tbl).map_batches(
+                verify, batch_format="pyarrow"
+            )
+        else:
+            verified = _verify_batch(
+                pairs_tbl, lookup, cfg.threshold, cfg.verify_mode
+            )
+            edges = ray.data.from_arrow(verified)
+    else:
+        # true-scale path: one bucketed shuffle with text routing; the
+        # documented bound is the routing map fitting the driver
+        edges = _routed_verify(
+            ds,
+            pa.table(
+                {
+                    "url_a": pa.array(pdf["url_a"], type=pa.string()),
+                    "url_b": pa.array(pdf["url_b"], type=pa.string()),
+                }
+            ),
+            cfg,
+        )
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -162,3 +162,20 @@ class TestClustering:
         uf = cluster.cluster_edges(edges)
         assert dist == uf
         assert dist["c"] == "a" and dist["y"] == "x" and dist["n"] == "m"
+
+
+class TestScaleMode:
+    def test_scale_mode_identical_edges(self, synth_corpus, ray_session):
+        """scale_mode (distributed dedupe-in-join + two-pass hash-join
+        verify, no driver data paths) must produce exactly the edges of
+        the default configuration."""
+        import ray.data as rd
+
+        ds = rd.from_arrow(synth_corpus.pages.select(["url", "text"]))
+        e1 = minhash.near_dup_edges(ds, minhash.MinHashConfig()).take_all()
+        e2 = minhash.near_dup_edges(
+            ds, minhash.MinHashConfig(scale_mode=True)
+        ).take_all()
+        s1 = {(r["url_a"], r["url_b"], round(r["similarity"], 9)) for r in e1}
+        s2 = {(r["url_a"], r["url_b"], round(r["similarity"], 9)) for r in e2}
+        assert s1 == s2 and len(e2) == len(s2)
