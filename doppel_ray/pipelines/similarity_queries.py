@@ -255,3 +255,23 @@ def ivf_topk(sf_dir: str):
             "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
         }
     )
+
+
+@query("near_dedup_keep_first")  # rows-only: LSH clustering not in SQL
+def near_dedup_keep_first(sf_dir: str):
+    """Training-data near-dedup: cluster near-dup edges (tau=0.8) with
+    union-find and keep one representative (min id) per cluster plus all
+    unclustered docs — the doc list a pipeline would train on."""
+    ds = _docs_as_pages(sf_dir)
+    edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
+    labels = cluster.cluster_edges(edges)
+    drop = {u for u, c in labels.items() if u != c}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["url"].to_pylist()
+        mask = pa.array([u not in drop for u in ids])
+        return batch.filter(mask)
+
+    kept = ds.map_batches(keep, batch_format="pyarrow").select_columns(["url"])
+    rows = sorted(int(r["url"]) for r in kept.take_all())
+    return pa.table({"doc_id": pa.array(rows, type=pa.int64())})

@@ -62,6 +62,7 @@ def read_pages(
     columns: list[str] | None = None,
     predicate=None,
     drop_html: bool = True,
+    override_num_blocks: int | None = None,
 ) -> Dataset:
     """Read a pages corpus with column pruning at the source.
 
@@ -79,6 +80,11 @@ def read_pages(
     kwargs = {}
     if predicate is not None:
         kwargs["filter"] = predicate  # pyarrow dataset expression pushdown
+    if override_num_blocks is not None:
+        # sort-based shuffles pay O(blocks^2) coordination; sizing blocks
+        # to ~2x total CPUs instead of Ray's read_op_min_num_blocks=200
+        # default measured 3x faster groupby stages on this workload
+        kwargs["override_num_blocks"] = override_num_blocks
     return rd.read_parquet(paths, columns=columns, **kwargs)
 
 
