@@ -86,6 +86,14 @@ class MinHashConfig:
     # loop); above this the fully-distributed routed bucketed join runs
     # (no single-node bound)
     driver_verify_limit: int = 1_000_000
+    # hot-band skew strategy: False (default) = ring-cap (connectivity
+    # kept, O(m) pairs per hot band, dropped counts surfaced); True =
+    # EXPLICIT SALTING — count pass finds bands > band_cap, their rows
+    # re-key to (band, sip64(url) % n_salts) so a mega-band spreads over
+    # n_salts shuffle groups, each emitting its full clique; subgroup
+    # minima are ringed afterwards so clustering is unchanged
+    salt_hot_bands: bool = False
+    n_salts: int = 16
     # True = NO driver-side data paths at all: bucketed distributed pair
     # dedupe + two-pass distributed hash-join verification. Slightly
     # slower at small scale (extra shuffles) but every stage's cost
@@ -187,6 +195,17 @@ def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
     Pairs surfacing in multiple bands are NOT deduped here (the collector
     in ``near_dup_edges`` does it in one vectorized pass); at true scale
     swap the collector for a bucketed groupby on (url_a, url_b).
+
+    ``cfg.salt_hot_bands=True`` switches hot-band handling from the
+    ring-cap to EXPLICIT SALTING (north-rule skew strategy): a cheap
+    count pass finds bands larger than ``band_cap``; their rows get key
+    ``(band_key, sip64(url) % n_salts)`` so one mega-band spreads over
+    ``n_salts`` shuffle groups. Each salted subgroup emits its full
+    clique (far more retained pairs than the ring); connectivity across
+    subgroups is restored by a ring over the subgroup minima, so
+    clustering results are unchanged. Costs one extra signing pass
+    (avoided by materializing the signature rows) plus a narrow count
+    shuffle.
     """
     sig = ds.map_batches(
         lambda t: sign_batch(t, cfg),
@@ -194,12 +213,112 @@ def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
         batch_size=cfg.batch_size,
     )
     cap = cfg.band_cap
-    return bucketed_group_apply(
-        sig,
-        "band_key",
-        lambda g: _emit_pairs_bucket(g, cap),
-        num_buckets=cfg.num_buckets,
+    if not cfg.salt_hot_bands:
+        return bucketed_group_apply(
+            sig,
+            "band_key",
+            lambda g: _emit_pairs_bucket(g, cap),
+            num_buckets=cfg.num_buckets,
+        )
+
+    from ray.data.aggregate import Count
+
+    sig = sig.materialize()  # reused by the count pass and the emission pass
+    hot_t = collect_table(
+        sig.groupby("band_key")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr=f"n > {cap}")
     )
+    hot = set(hot_t["band_key"].to_pylist()) if hot_t.num_rows else set()
+    hot_ref = ray.put(hot)
+    n_salts = cfg.n_salts
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        from doppel_ray.functions.hashing import sip64
+
+        hot_keys = ray.get(hot_ref)
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        salts = np.zeros(len(keys), dtype=np.int64)
+        if hot_keys:
+            is_hot = np.fromiter(
+                (k in hot_keys for k in keys), count=len(keys), dtype=bool
+            )
+            if is_hot.any():
+                s = (
+                    sip64(pd.Series(batch["url"].to_pylist())) % np.uint64(n_salts)
+                ).astype(np.int64)
+                salts[is_hot] = s[is_hot]
+        # fold salt into the shuffle key; keep the raw band_key so the
+        # emitter can ring the subgroup minima back together
+        salted = keys * np.int64(n_salts) + salts
+        return pa.table(
+            {
+                "salted_key": pa.array(salted, type=pa.int64()),
+                "band_key": batch["band_key"],
+                "url": batch["url"],
+            }
+        )
+
+    salted_rows = sig.map_batches(add_salt, batch_format="pyarrow")
+
+    def emit(g: pa.Table) -> pa.Table:
+        # cliques within each salted subgroup (full pairs — salting
+        # already bounded subgroup size to ~group/n_salts); pair rows
+        # only, deduped per bucket. Cross-subgroup connectivity is
+        # restored separately (below) from a tiny rep aggregation — no
+        # sentinel rows mixed into the pair stream.
+        df = g.to_pandas().drop_duplicates(subset=["salted_key", "url"])
+        ua, ub = [], []
+        for _, grp in df.groupby("salted_key", sort=False):
+            urls = sorted(grp["url"].tolist())
+            m = len(urls)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    ua.append(urls[i])
+                    ub.append(urls[j])
+        out = pd.DataFrame({"url_a": ua, "url_b": ub}).drop_duplicates()
+        out["dropped"] = 0
+        return pa.Table.from_pandas(out, preserve_index=False).cast(PAIRS_SCHEMA)
+
+    pairs_ds = bucketed_group_apply(
+        salted_rows, "salted_key", emit, num_buckets=cfg.num_buckets
+    )
+
+    # connectivity repair: min url per (band, salt) subgroup of the HOT
+    # bands — #hot x n_salts rows by construction — ringed per band so a
+    # salted mega-band still forms one component for clustering
+    def only_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((k in hk for k in keys), count=len(keys), dtype=bool)
+        return batch.filter(pa.array(m))
+
+    from ray.data.aggregate import Min
+
+    reps_t = collect_table(
+        salted_rows.map_batches(only_hot, batch_format="pyarrow")
+        .groupby(["band_key", "salted_key"])
+        .aggregate(Min("url", alias_name="rep"))
+    )
+    if reps_t.num_rows:
+        rdf = reps_t.to_pandas()
+        ua, ub = [], []
+        for _, grp in rdf.groupby("band_key", sort=False):
+            r = sorted(set(grp["rep"].tolist()))
+            for i in range(len(r) - 1):
+                ua.append(r[i])
+                ub.append(r[i + 1])
+        if ua:
+            ring = pa.table(
+                {
+                    "url_a": pa.array(ua, type=pa.string()),
+                    "url_b": pa.array(ub, type=pa.string()),
+                    "dropped": pa.array([0] * len(ua), type=pa.int64()),
+                },
+                schema=PAIRS_SCHEMA,
+            )
+            pairs_ds = pairs_ds.union(ray.data.from_arrow(ring))
+    return pairs_ds
 
 
 def shingle_sets_for(
