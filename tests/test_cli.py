@@ -1,0 +1,57 @@
+"""CLI surface tests (reference cmd/find.go / cmd/preset.go semantics):
+argument parsing, IsSet-style flag overlay, and precedence."""
+
+from __future__ import annotations
+
+import argparse
+
+from doppel_ray import cli
+from doppel_ray import config as C
+
+
+class TestParser:
+    def test_find_flags(self):
+        args = cli.build_parser().parse_args(
+            ["find", "/data", "--min-size", "1KB", "--near", "--threshold", "0.7"]
+        )
+        assert args.command == "find"
+        assert args.paths == ["/data"]
+        assert args.min_size == "1KB"
+        assert args.near and args.threshold == 0.7
+
+    def test_preset_choices(self):
+        args = cli.build_parser().parse_args(["preset", "dev", "/data"])
+        assert args.preset == "dev"
+        import pytest
+
+        with pytest.raises(SystemExit):
+            cli.build_parser().parse_args(["preset", "nope", "/data"])
+
+    def test_regex_flags_reach_config(self):
+        """The reference's cmd/find.go:70-80 bug (regex flags never reach
+        config) is fixed: our flags overlay as intended."""
+        args = cli.build_parser().parse_args(
+            ["find", "/data", "--exclude-dirs-regex", "^tmp", "--exclude-files-regex", r"\.log$"]
+        )
+        cfg = cli._overlay(C.default_config(), args)
+        assert cfg.find.exclude_dir_regex == "^tmp"
+        assert cfg.find.exclude_file_regex == r"\.log$"
+
+
+class TestOverlay:
+    def test_unset_flags_do_not_override(self):
+        cfg = C.default_config()
+        cfg.find.min_size = "5KB"
+        args = cli.build_parser().parse_args(["find", "/data"])
+        out = cli._overlay(cfg, args)
+        assert out.find.min_size == "5KB"  # None flag left config alone
+
+    def test_set_flag_overrides(self):
+        cfg = C.default_config()
+        cfg.find.min_size = "5KB"
+        args = cli.build_parser().parse_args(["find", "/data", "--min-size", "9KB"])
+        assert cli._overlay(cfg, args).find.min_size == "9KB"
+
+    def test_preset_overlay(self):
+        args = cli.build_parser().parse_args(["preset", "media", "/data"])
+        assert cli._overlay(C.default_config(), args).find.preset == "media"
