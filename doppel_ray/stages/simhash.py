@@ -157,40 +157,35 @@ def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
         num_buckets=cfg.num_buckets,
     )
 
-    max_d = cfg.max_hamming
+    # fingerprints travel WITH the pairs, so dedupe + verification need no
+    # join and no second shuffle: one vectorized driver pass (pandas
+    # drop_duplicates + popcount) replaces the bucketed dedupe + verify
+    # map that cost a full extra sort (same lesson as minhash's
+    # driver-verify regime; documented scale bound: the pair list fits
+    # the driver — beyond that restore a bucketed dedupe on url_a).
+    from doppel_ray.stages.minhash import collect_table
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return SIMHASH_EDGES_SCHEMA.empty_table()
-        df = batch.to_pandas().drop_duplicates(subset=["url_a", "url_b"])
-        a = df["sim_a"].to_numpy()
-        b = df["sim_b"].to_numpy()
-        d = T.hamming_distance64(a, b)
-        keep = d <= max_d
-        return pa.table(
-            {
-                "url_a": pa.array(df["url_a"].to_numpy()[keep], type=pa.string()),
-                "url_b": pa.array(df["url_b"].to_numpy()[keep], type=pa.string()),
-                "hamming": pa.array(d[keep], type=pa.int64()),
-                "kind": pa.array(["simhash"] * int(keep.sum()), type=pa.string()),
-            },
-            schema=SIMHASH_EDGES_SCHEMA,
-        )
-
-    # cross-batch duplicate pairs (same pair from different blocks) are
-    # deduped by a bucketed pass keyed on url_a
-    def dedupe_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop_duplicates(subset=["url_a", "url_b"])
-        return pa.Table.from_pandas(df, preserve_index=False).cast(
-            _PAIRS_SCHEMA
-        )
-
-    deduped = bucketed_group_apply(
+    t = collect_table(
         pairs.map_batches(
-            lambda t: t.select(_PAIRS_SCHEMA.names), batch_format="pyarrow"
+            lambda b: b.select(_PAIRS_SCHEMA.names), batch_format="pyarrow"
         ),
-        "url_a",
-        dedupe_bucket,
-        num_buckets=cfg.num_buckets,
+        _PAIRS_SCHEMA,
     )
-    return deduped.map_batches(verify, batch_format="pyarrow")
+    if t.num_rows == 0:
+        return ray.data.from_arrow(SIMHASH_EDGES_SCHEMA.empty_table())
+    df = t.to_pandas().drop_duplicates(subset=["url_a", "url_b"])
+    d = T.hamming_distance64(
+        df["sim_a"].to_numpy().view(np.uint64),
+        df["sim_b"].to_numpy().view(np.uint64),
+    )
+    keep = d <= cfg.max_hamming
+    out = pa.table(
+        {
+            "url_a": pa.array(df["url_a"].to_numpy()[keep], type=pa.string()),
+            "url_b": pa.array(df["url_b"].to_numpy()[keep], type=pa.string()),
+            "hamming": pa.array(d[keep].astype(np.int64)),
+            "kind": pa.array(["simhash"] * int(keep.sum()), type=pa.string()),
+        },
+        schema=SIMHASH_EDGES_SCHEMA,
+    )
+    return ray.data.from_arrow(out)
