@@ -23,6 +23,14 @@ Physical design notes (measured, not guessed — see BASELINE.md):
   preserved and the ``dropped`` column carries the pruned-pair count (no
   silent truncation). Mega-bands are boilerplate/exact dups in practice,
   already captured by the exact cascade.
+* Pair-complete contracts (``verify_mode="exact"`` or threshold >= 1.0):
+  the verified relation is an EQUIVALENCE (content equality / shingle-set
+  equality), so the complete answer is the full clique over each
+  connected component. Hot-band rings are ordered by a per-doc
+  equivalence key (content hash / set hash) so every equivalence class
+  stays connected through verification even when a band group mixes
+  classes, and ``_expand_cliques`` restores the full O(m^2) relation
+  afterward (80 identical docs -> 3160 pairs, not a 79-edge ring).
 * Verification: candidate docs are a small subset of the corpus; their
   exact shingle sets are computed distributed, then broadcast via
   ``ray.put`` for verification in ``map_batches``. Scale path (documented
@@ -98,12 +106,26 @@ class MinHashConfig:
     # dedupe + two-pass distributed hash-join verification. Slightly
     # slower at small scale (extra shuffles) but every stage's cost
     # parallelizes — the configuration the N->4N scaling criterion and
-    # true multi-node runs use.
-    scale_mode: bool = False
+    # true multi-node runs use. None (default) = AUTO: the candidate
+    # pair list is materialized + counted and the fully-distributed
+    # path engages when it exceeds ``driver_verify_limit`` — no caller
+    # flag needed at scale.
+    scale_mode: bool | None = None
+    # None = auto: pair-complete clique expansion engages when the
+    # verified relation is an equivalence (verify_mode "exact" or
+    # threshold >= 1.0). Explicit False opts out (ring-connectivity
+    # only); explicit True forces it.
+    pair_complete: bool | None = None
 
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.bands
+
+    @property
+    def is_pair_complete(self) -> bool:
+        if self.pair_complete is not None:
+            return self.pair_complete
+        return self.verify_mode == "exact" or self.threshold >= 1.0
 
 
 @functools.lru_cache(maxsize=8)
@@ -118,19 +140,57 @@ def _doc_bytes(col: pa.Array | pa.ChunkedArray, cfg: MinHashConfig) -> list[byte
     return [s.encode() for s in col.to_pylist()]
 
 
-def sign_batch(batch: pa.Table, cfg: MinHashConfig) -> pa.Table:
-    """text -> flattened (url, band_key) candidate rows (one per band)."""
+def _eq_keys(
+    batch: pa.Table,
+    cfg: MinHashConfig,
+    hashes: np.ndarray,
+    offsets: np.ndarray,
+) -> np.ndarray:
+    """Per-doc 64-bit equivalence key for pair-complete mode.
+
+    ``verify_mode="exact"``: hash of the raw text (equality classes =
+    byte-identical content). Jaccard at threshold>=1.0: order-free hash
+    of the unique shingle-hash set (classes = set equality). A key
+    collision between classes is as (im)probable as the content-hash
+    collisions the exact cascade already tolerates.
+    """
+    from doppel_ray.functions.hashing import sip64
+
+    if cfg.verify_mode == "exact":
+        return sip64(batch["text"].to_pandas()).astype(np.uint64)
+    ends = np.concatenate([offsets[1:], [len(hashes)]])
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    out = np.empty(len(offsets), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, (s, e) in enumerate(zip(offsets, ends)):
+            u = np.unique(hashes[s:e])
+            mixed = (u * mult) ^ (u >> np.uint64(31))
+            out[i] = np.bitwise_xor.reduce(mixed) * mult + np.uint64(len(u))
+    return out
+
+
+def sign_batch(
+    batch: pa.Table, cfg: MinHashConfig, with_eq: bool = False
+) -> pa.Table:
+    """text -> flattened (url, band_key[, eq_key]) candidate rows (one per
+    band). ``with_eq`` (pair-complete mode) adds the equivalence key the
+    hot-band ring orders by."""
     a, b = _perms(cfg.num_perm, cfg.seed)
     byte_docs = _doc_bytes(batch["text"], cfg)
-    sigs = T.minhash_signatures(byte_docs, cfg.shingle_n, a, b)
+    hashes, offsets = T.shingle_hashes(byte_docs, cfg.shingle_n)
+    sigs = T.minhash_from_shingles(hashes, offsets, a, b)
     keys = T.band_keys(sigs, cfg.bands, seed=cfg.seed)  # (n, bands) int64
     urls = batch["url"].to_pylist()
-    return pa.table(
-        {
-            "url": pa.array(np.repeat(urls, cfg.bands)),
-            "band_key": pa.array(keys.ravel(), type=pa.int64()),
-        }
-    )
+    cols = {
+        "url": pa.array(np.repeat(urls, cfg.bands)),
+        "band_key": pa.array(keys.ravel(), type=pa.int64()),
+    }
+    if with_eq:
+        eq = _eq_keys(batch, cfg, hashes, offsets)
+        cols["eq_key"] = pa.array(
+            np.repeat(eq, cfg.bands).view(np.int64), type=pa.int64()
+        )
+    return pa.table(cols)
 
 
 class MinHashSigner:
@@ -148,11 +208,20 @@ class MinHashSigner:
 def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
     """All (or ring-capped) within-band pairs for every band group in the
     bucket; pandas groups at C speed, Python loops only over bands with
-    >=2 distinct members."""
+    >=2 distinct members.
+
+    When an ``eq_key`` column is present (pair-complete mode) the capped
+    ring is ordered by (eq_key, url): members of one equivalence class
+    are consecutive, so the ring contains a verified-edge path through
+    every class even when a hot band mixes classes — the property clique
+    expansion relies on."""
     if g.num_rows < 2:
         return PAIRS_SCHEMA.empty_table()
+    has_eq = "eq_key" in g.column_names
     df = g.to_pandas()
-    df = df.drop_duplicates()  # a url can repeat an identical (url, band_key)
+    df = df.drop_duplicates(
+        subset=["band_key", "url"]
+    )  # a url can repeat an identical (url, band_key)
     dup = df[df.duplicated("band_key", keep=False)]
     if dup.empty:
         return PAIRS_SCHEMA.empty_table()
@@ -160,23 +229,32 @@ def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
     ub: list[str] = []
     dropped: list[int] = []
     for _, grp in dup.groupby("band_key", sort=False):
-        urls = sorted(set(grp["url"].tolist()))
+        if has_eq:
+            urls = [u for _, u in sorted(zip(grp["eq_key"], grp["url"]))]
+        else:
+            urls = sorted(set(grp["url"].tolist()))
         m = len(urls)
         if m < 2:
             continue
         if m <= cap:
             for i in range(m):
                 for j in range(i + 1, m):
-                    ua.append(urls[i])
-                    ub.append(urls[j])
+                    x, y = urls[i], urls[j]
+                    if x > y:
+                        x, y = y, x
+                    ua.append(x)
+                    ub.append(y)
                     dropped.append(0)
         else:
             # hot band: ring of consecutive pairs keeps the component
             # connected; report pruned pair count (no silent truncation)
             total = m * (m - 1) // 2
             for i in range(m - 1):
-                ua.append(urls[i])
-                ub.append(urls[i + 1])
+                x, y = urls[i], urls[i + 1]
+                if x > y:
+                    x, y = y, x
+                ua.append(x)
+                ub.append(y)
                 dropped.append(0)
             dropped[-(m - 1)] = total - (m - 1)
     # same pair from several bands in this bucket: dedupe HERE so the
@@ -206,14 +284,21 @@ def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
     clustering results are unchanged. Costs one extra signing pass
     (avoided by materializing the signature rows) plus a narrow count
     shuffle.
+
+    Pair-complete mode (equivalence contracts) always uses the
+    eq-ordered ring path: salting's rep rings mix equivalence classes
+    (their edges die in verification, breaking class connectivity), and
+    clique expansion regenerates every pair afterward anyway — the ring
+    is the skew-safe O(m) choice there.
     """
+    with_eq = cfg.is_pair_complete
     sig = ds.map_batches(
-        lambda t: sign_batch(t, cfg),
+        lambda t: sign_batch(t, cfg, with_eq=with_eq),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
     cap = cfg.band_cap
-    if not cfg.salt_hot_bands:
+    if with_eq or not cfg.salt_hot_bands:
         return bucketed_group_apply(
             sig,
             "band_key",
@@ -720,6 +805,83 @@ def _distributed_verify(ds: Dataset, pairs: Dataset, cfg: MinHashConfig) -> Data
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def _expand_cliques(edges: Dataset) -> Dataset:
+    """Pair-complete expansion for equivalence contracts.
+
+    Verified similarity-1.0 edges (content equality / shingle-set
+    equality) form an equivalence relation, so the complete pair set is
+    the full clique over each connected component — ring-capped hot
+    bands emit only O(m) of the O(m^2) pairs per class (ADVICE r1: 80
+    identical docs must yield 3160 pairs, not a 79-edge ring).
+
+    Components are computed driver-side (pre-expansion edges are
+    ring-bounded, O(docs-in-dup-classes)); clique EMISSION streams
+    through a Dataset ``map_batches`` generator in bounded chunks so the
+    quadratic output never materializes on the driver.
+    """
+    out_schema = pa.schema(
+        [
+            ("url_a", pa.string()),
+            ("url_b", pa.string()),
+            ("similarity", pa.float64()),
+        ]
+    )
+    t = collect_table(edges.select_columns(["url_a", "url_b"]))
+    if t.num_rows == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    from doppel_ray.state.unionfind import UnionFind
+
+    uf = UnionFind()
+    uf.add_edges(zip(t["url_a"].to_pylist(), t["url_b"].to_pylist()))
+    comps: dict[str, list[str]] = {}
+    for u, root in uf.labels().items():
+        comps.setdefault(root, []).append(u)
+    members = [sorted(v) for v in comps.values() if len(v) >= 2]
+    if not members:
+        return ray.data.from_arrow(out_schema.empty_table())
+    comp_t = pa.table({"members": pa.array(members, type=pa.list_(pa.string()))})
+
+    def emit(batch: pa.Table):
+        chunk = 1 << 16
+        ua: list[np.ndarray] = []
+        ub: list[np.ndarray] = []
+        size = 0
+        for lst in batch["members"].to_pylist():
+            arr = np.asarray(lst)  # sorted -> arr[i] < arr[j] for i < j
+            m = len(arr)
+            for i in range(m - 1):
+                ua.append(np.full(m - i - 1, arr[i]))
+                ub.append(arr[i + 1 :])
+                size += m - i - 1
+                if size >= chunk:
+                    a = np.concatenate(ua)
+                    b = np.concatenate(ub)
+                    ua, ub, size = [], [], 0
+                    yield pa.table(
+                        {
+                            "url_a": pa.array(a, type=pa.string()),
+                            "url_b": pa.array(b, type=pa.string()),
+                            "similarity": pa.array(np.ones(len(a))),
+                        },
+                        schema=out_schema,
+                    )
+        if size:
+            a = np.concatenate(ua)
+            b = np.concatenate(ub)
+            yield pa.table(
+                {
+                    "url_a": pa.array(a, type=pa.string()),
+                    "url_b": pa.array(b, type=pa.string()),
+                    "similarity": pa.array(np.ones(len(a))),
+                },
+                schema=out_schema,
+            )
+
+    return ray.data.from_arrow(comp_t).map_batches(
+        emit, batch_format="pyarrow", batch_size=64
+    )
+
+
 def _unique_pair_urls(pairs: Dataset) -> pa.Array:
     """Distinct urls appearing in any candidate pair (vectorized collect)."""
     t = collect_table(pairs.select_columns(["url_a", "url_b"]))
@@ -739,14 +901,27 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     ``similarity`` is the exact Jaccard over unique char-n-gram shingle
     hashes of the normalized text; only pairs >= cfg.threshold survive.
     Verification auto-selects broadcast (small candidate sets) vs the
-    fully-distributed bucketed join (see module docstring).
+    fully-distributed bucketed join (see module docstring);
+    ``cfg.scale_mode=None`` (default) additionally auto-engages the
+    zero-driver-data-path configuration when the measured candidate
+    pair count exceeds ``driver_verify_limit`` — callers never have to
+    know they crossed the scale boundary.
     """
     cfg = cfg or MinHashConfig()
     pairs = candidate_pairs(ds, cfg)
-    if cfg.scale_mode:
+    scale = cfg.scale_mode
+    if scale is None:
+        # auto-selection needs the pair count; materialize so the count
+        # pass is not thrown away (pairs live distributed in the object
+        # store — never on the driver)
+        pairs = pairs.materialize()
+        scale = pairs.count() > cfg.driver_verify_limit
+    if scale:
         # no separate dedupe shuffle: every copy of a pair shares url_a,
         # so join pass 1 (bucketed on url_a) co-locates and dedupes them
         edges = _distributed_verify(ds, pairs.drop_columns(["dropped"]), cfg)
+        if cfg.is_pair_complete:
+            edges = _expand_cliques(edges)
 
         def tag_scale(batch: pa.Table) -> pa.Table:
             return batch.append_column(
@@ -820,6 +995,9 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
             ),
             cfg,
         )
+
+    if cfg.is_pair_complete:
+        edges = _expand_cliques(edges)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(

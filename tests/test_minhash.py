@@ -181,6 +181,98 @@ class TestScaleMode:
         assert s1 == s2 and len(e2) == len(s2)
 
 
+class TestPairComplete:
+    """ADVICE r1 (high): pair-complete contracts must emit the FULL
+    clique even when an identical-text group exceeds band_cap."""
+
+    def _identical_corpus(self, n: int):
+        t = pa.table(
+            {
+                "url": [f"{i:012d}" for i in range(n)],
+                "text": ["exactly the same document text here"] * n,
+            }
+        )
+        return rd.from_arrow(t)
+
+    def test_exact_mode_full_cliques_over_cap(self, ray_session):
+        n = 80  # > default band_cap=64 -> ring would emit only 79 edges
+        ds = self._identical_corpus(n)
+        cfg = minhash.MinHashConfig(
+            threshold=1.0, normalize=False, verify_mode="exact", num_buckets=8
+        )
+        edges = minhash.near_dup_edges(ds, cfg).take_all()
+        pairs = {(r["url_a"], r["url_b"]) for r in edges}
+        assert len(edges) == len(pairs) == n * (n - 1) // 2  # 3160
+        assert all(r["similarity"] == 1.0 for r in edges)
+        assert all(r["url_a"] < r["url_b"] for r in edges)
+
+    def test_jaccard_threshold_one_full_cliques_over_cap(self, ray_session):
+        n = 70
+        ds = self._identical_corpus(n)
+        cfg = minhash.MinHashConfig(threshold=1.0, band_cap=16, num_buckets=8)
+        edges = minhash.near_dup_edges(ds, cfg).take_all()
+        pairs = {(r["url_a"], r["url_b"]) for r in edges}
+        assert len(edges) == len(pairs) == n * (n - 1) // 2
+
+    def test_mixed_classes_in_hot_band_stay_separate(self, ray_session):
+        """Two identical-text groups + uniques: cliques per group, no
+        cross-group pairs, even with a tiny cap forcing rings."""
+        na, nb = 30, 25
+        urls = [f"a{i:04d}" for i in range(na)] + [f"b{i:04d}" for i in range(nb)]
+        texts = ["group alpha text body repeated"] * na + [
+            "group beta document content words"
+        ] * nb
+        ds = rd.from_arrow(pa.table({"url": urls, "text": texts}))
+        cfg = minhash.MinHashConfig(
+            threshold=1.0, normalize=False, verify_mode="exact",
+            band_cap=4, num_buckets=8,
+        )
+        edges = minhash.near_dup_edges(ds, cfg).take_all()
+        pairs = {(r["url_a"], r["url_b"]) for r in edges}
+        assert len(pairs) == na * (na - 1) // 2 + nb * (nb - 1) // 2
+        assert not any(a.startswith("a") and b.startswith("b") for a, b in pairs)
+
+    def test_pair_complete_matches_oracle_on_synth(self, synth_corpus, ray_session):
+        """Synth corpus (50-copy + skew clusters): exact-mode edges ==
+        the identical-text self-join, pairwise complete."""
+        pages = synth_corpus.pages.select(["url", "text"])
+        ds = rd.from_arrow(pages)
+        cfg = minhash.MinHashConfig(
+            threshold=1.0, normalize=False, verify_mode="exact",
+            band_cap=8, num_buckets=8,
+        )
+        edges = minhash.near_dup_edges(ds, cfg).take_all()
+        got = {(r["url_a"], r["url_b"]) for r in edges}
+        texts = pages["text"].to_pylist()
+        urls = pages["url"].to_pylist()
+        groups: dict[str, list[str]] = {}
+        for u, t in zip(urls, texts):
+            groups.setdefault(t, []).append(u)
+        truth = set()
+        for members in groups.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    truth.add((members[i], members[j]))
+        assert got == truth
+
+
+class TestAutoScaleMode:
+    def test_auto_engages_distributed_path(self, synth_corpus, ray_session):
+        """driver_verify_limit=10 forces the auto selector into the
+        fully-distributed verify; edges must equal the driver regime's."""
+        ds = rd.from_arrow(synth_corpus.pages.select(["url", "text"]))
+        e_driver = minhash.near_dup_edges(
+            ds, minhash.MinHashConfig(scale_mode=False)
+        ).take_all()
+        e_auto = minhash.near_dup_edges(
+            ds, minhash.MinHashConfig(driver_verify_limit=10)
+        ).take_all()
+        s1 = {(r["url_a"], r["url_b"], round(r["similarity"], 9)) for r in e_driver}
+        s2 = {(r["url_a"], r["url_b"], round(r["similarity"], 9)) for r in e_auto}
+        assert s1 == s2 and len(e_auto) == len(s2)
+
+
 class TestSaltedHotBands:
     def test_salted_clusters_match_unsalted(self, ray_session):
         """A mega-cluster of identical docs far above band_cap: salting
