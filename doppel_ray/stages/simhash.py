@@ -4,10 +4,24 @@
 pigeonhole band trick (Manku/Jain/Sarma, WWW'07 "Detecting near-duplicates
 for web crawling"): split the 64-bit fingerprint into ``bands`` equal
 blocks — any pair within Hamming distance d < bands shares at least one
-exact block, so a groupby per block finds all candidates. Same bucketed
-shuffle + capped hot groups as the MinHash path; verification computes the
-exact Hamming distance from the two fingerprints (carried with the pair —
-no second join needed, unlike Jaccard verification).
+exact block, so a groupby per block finds all candidates.
+
+Scale design (round 2 — replaces the r1 driver-collect verify):
+
+* **Exact-dup pre-pruning** (``prune_exact``, default on): identical
+  normalized texts have identical fingerprints, so a mega-group of m
+  exact copies used to form an m-clique in EVERY band block (the
+  dominant cost at bench scale). Now one representative (min url) per
+  equality class goes through banding; the full pair relation is
+  restored afterward by fully-distributed expansion — intra-class
+  cliques at Hamming 0 plus rep-edge cross products — via bucketed
+  hash joins, no driver data paths.
+* **Verification inside the band bucket**: the fingerprints travel with
+  the rows, so the exact popcount filter runs where the pairs are born;
+  only surviving (url_a, url_b, hamming) rows ever shuffle again.
+* **Distributed pair dedupe**: a pair surfacing from several blocks is
+  deduped by a bucketed groupby on url_a — the r1 ``collect_table``
+  driver pass is gone; no stage materializes on the driver.
 """
 
 from __future__ import annotations
@@ -17,6 +31,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
@@ -37,8 +52,7 @@ _PAIRS_SCHEMA = pa.schema(
     [
         ("url_a", pa.string()),
         ("url_b", pa.string()),
-        ("sim_a", pa.int64()),
-        ("sim_b", pa.int64()),
+        ("hamming", pa.int64()),
         ("dropped", pa.int64()),
     ]
 )
@@ -52,6 +66,10 @@ class SimHashConfig:
     num_buckets: int = 64
     normalize: bool = True
     batch_size: int = 4096
+    # collapse identical (normalized) texts to one representative before
+    # banding; the full pair relation is restored by distributed
+    # expansion afterward. Kills the exact-dup mega-clique cost.
+    prune_exact: bool = True
 
     def __post_init__(self):
         assert 64 % self.bands == 0, "bands must divide 64"
@@ -61,8 +79,11 @@ class SimHashConfig:
 
 
 def add_simhash(ds: Dataset, cfg: SimHashConfig | None = None,
-                text_col: str = "text", out_col: str = "simhash") -> Dataset:
-    """Append the 64-bit SimHash fingerprint column (int64 bit-view)."""
+                text_col: str = "text", out_col: str = "simhash",
+                eq_col: str | None = None) -> Dataset:
+    """Append the 64-bit SimHash fingerprint column (int64 bit-view);
+    ``eq_col`` additionally appends a 64-bit hash of the (normalized)
+    text — the equality key the exact-dup pre-prune groups on."""
     cfg = cfg or SimHashConfig()
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -74,7 +95,13 @@ def add_simhash(ds: Dataset, cfg: SimHashConfig | None = None,
         sh = T.simhash_signatures(texts)
         if out_col in batch.column_names:
             batch = batch.drop_columns([out_col])
-        return batch.append_column(out_col, pa.array(sh, type=pa.int64()))
+        batch = batch.append_column(out_col, pa.array(sh, type=pa.int64()))
+        if eq_col is not None:
+            from doppel_ray.functions.hashing import sip64
+
+            eq = sip64(texts).view(np.int64)
+            batch = batch.append_column(eq_col, pa.array(eq, type=pa.int64()))
+        return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
 
@@ -100,7 +127,10 @@ def _explode_blocks(batch: pa.Table, bands: int) -> pa.Table:
     )
 
 
-def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
+def _emit_pairs_bucket(g: pa.Table, cap: int, max_hamming: int) -> pa.Table:
+    """Within-block pairs (ring-capped for hot blocks) with the exact
+    Hamming popcount applied HERE — fingerprints travel with the rows,
+    so verification needs no join and failing pairs never shuffle."""
     if g.num_rows < 2:
         return _PAIRS_SCHEMA.empty_table()
     df = g.to_pandas().drop_duplicates(subset=["block_key", "url"])
@@ -126,66 +156,287 @@ def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
                 sa.append(rows[i][1]); sb.append(rows[i + 1][1])
                 dropped.append(0)
             dropped[-(m - 1)] = total - (m - 1)
+    if not ua:
+        return _PAIRS_SCHEMA.empty_table()
+    d = T.hamming_distance64(
+        np.asarray(sa, dtype=np.int64).view(np.uint64),
+        np.asarray(sb, dtype=np.int64).view(np.uint64),
+    )
+    keep = d <= max_hamming
     return pa.table(
         {
-            "url_a": pa.array(ua, type=pa.string()),
-            "url_b": pa.array(ub, type=pa.string()),
-            "sim_a": pa.array(sa, type=pa.int64()),
-            "sim_b": pa.array(sb, type=pa.int64()),
-            "dropped": pa.array(dropped, type=pa.int64()),
+            "url_a": pa.array(np.asarray(ua)[keep], type=pa.string()),
+            "url_b": pa.array(np.asarray(ub)[keep], type=pa.string()),
+            "hamming": pa.array(d[keep].astype(np.int64)),
+            "dropped": pa.array(np.asarray(dropped, dtype=np.int64)[keep]),
         },
         schema=_PAIRS_SCHEMA,
     )
 
 
+def _dedupe_pairs(pairs: Dataset, num_buckets: int) -> Dataset:
+    """Bucketed distributed dedupe: all copies of a pair share url_a, so
+    one hash-bucket shuffle co-locates them; hamming is identical for
+    every copy, dropped tallies sum."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        agg = df.groupby(["url_a", "url_b"], sort=False, as_index=False).agg(
+            hamming=("hamming", "first"), dropped=("dropped", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False).cast(_PAIRS_SCHEMA)
+
+    return bucketed_group_apply(pairs, "url_a", per_bucket, num_buckets=num_buckets)
+
+
+def _split_rep_groups(signed: Dataset, num_buckets: int) -> tuple[Dataset, Dataset]:
+    """(url, simhash, eq_key) -> (reps, members).
+
+    One bucketed shuffle on eq_key resolves equality classes; per class
+    the representative is min(url). ``reps`` = one (url, simhash) row per
+    class; ``members`` = (rep, url) rows for EVERY member of classes with
+    >= 2 members (rep included), the expansion side-input.
+    """
+    union_schema = pa.schema(
+        [
+            ("row_kind", pa.int8()),  # 0 = rep, 1 = member
+            ("url", pa.string()),
+            ("simhash", pa.int64()),
+            ("rep", pa.string()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        gb = df.groupby("eq_key", sort=False)
+        rep = gb.agg(url=("url", "min"), simhash=("simhash", "first")).reset_index()
+        counts = gb.size()
+        dup_keys = set(counts[counts > 1].index)
+        out = [
+            pa.table(
+                {
+                    "row_kind": pa.array(np.zeros(len(rep), dtype=np.int8)),
+                    "url": pa.array(rep["url"], type=pa.string()),
+                    "simhash": pa.array(rep["simhash"], type=pa.int64()),
+                    "rep": pa.nulls(len(rep), type=pa.string()),
+                },
+                schema=union_schema,
+            )
+        ]
+        if dup_keys:
+            mem = df[df["eq_key"].isin(dup_keys)].merge(
+                rep[["eq_key", "url"]].rename(columns={"url": "rep"}),
+                on="eq_key",
+            )
+            out.append(
+                pa.table(
+                    {
+                        "row_kind": pa.array(np.ones(len(mem), dtype=np.int8)),
+                        "url": pa.array(mem["url"], type=pa.string()),
+                        "simhash": pa.array(mem["simhash"], type=pa.int64()),
+                        "rep": pa.array(mem["rep"], type=pa.string()),
+                    },
+                    schema=union_schema,
+                )
+            )
+        return pa.concat_tables(out)
+
+    split = bucketed_group_apply(
+        signed, "eq_key", per_bucket, num_buckets=num_buckets
+    ).materialize()
+    reps = split.filter(expr="row_kind == 0").select_columns(["url", "simhash"])
+    members = split.filter(expr="row_kind == 1").select_columns(["rep", "url"])
+    return reps, members
+
+
+def _expand_edges(
+    edges: Dataset, members: Dataset, cfg: SimHashConfig
+) -> Dataset:
+    """Distributed reattachment of pruned exact-dup classes.
+
+    * intra-class cliques at Hamming 0 (one bucketed groupby on rep);
+    * each rep-level edge (ra, rb, h) expands to all (u in class(ra),
+      v in class(rb)) pairs at the same h — two bucketed hash joins
+      (url_a side, then url_b side), mirroring minhash's two-pass join.
+    All stages are map_batches / bucketed groupbys — zero driver paths.
+    """
+    out_schema = pa.schema(
+        [("url_a", pa.string()), ("url_b", pa.string()), ("hamming", pa.int64())]
+    )
+
+    # intra-class cliques ------------------------------------------------
+    def cliques(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        ua, ub = [], []
+        for _, grp in df.groupby("rep", sort=False):
+            urls = sorted(grp["url"].tolist())
+            m = len(urls)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    ua.append(urls[i]); ub.append(urls[j])
+        return pa.table(
+            {
+                "url_a": pa.array(ua, type=pa.string()),
+                "url_b": pa.array(ub, type=pa.string()),
+                "hamming": pa.array(np.zeros(len(ua), dtype=np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    intra = bucketed_group_apply(
+        members, "rep", cliques, num_buckets=cfg.num_buckets
+    )
+
+    # cross expansion: join pass on url_a, then on url_b -----------------
+    join_schema = pa.schema(
+        [
+            ("join_key", pa.string()),
+            ("url_a", pa.string()),
+            ("url_b", pa.string()),
+            ("hamming", pa.int64()),
+            ("member", pa.string()),  # non-null rows are membership rows
+        ]
+    )
+
+    def tag_edges(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "join_key": batch[side],
+                    "url_a": batch["url_a"],
+                    "url_b": batch["url_b"],
+                    "hamming": batch["hamming"],
+                    "member": pa.nulls(n, type=pa.string()),
+                },
+                schema=join_schema,
+            )
+
+        return fn
+
+    def tag_members(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "join_key": batch["rep"],
+                "url_a": pa.nulls(n, type=pa.string()),
+                "url_b": pa.nulls(n, type=pa.string()),
+                "hamming": pa.nulls(n, type=pa.int64()),
+                "member": batch["url"],
+            },
+            schema=join_schema,
+        )
+
+    def expand_side(side: str):
+        """Replace the ``side`` endpoint of each edge with every member
+        of its class (classes absent from ``members`` are singletons —
+        the rep itself stands)."""
+
+        def fn(g: pa.Table) -> pa.Table:
+            is_mem = pc.is_valid(g["member"])
+            mem = g.filter(is_mem)
+            ed = g.filter(pc.invert(is_mem))
+            if ed.num_rows == 0:
+                return out_schema.empty_table()
+            groups: dict[str, list[str]] = {}
+            for r, u in zip(mem["join_key"].to_pylist(), mem["member"].to_pylist()):
+                groups.setdefault(r, []).append(u)
+            ua, ub, hh = [], [], []
+            for a, b, h, k in zip(
+                ed["url_a"].to_pylist(),
+                ed["url_b"].to_pylist(),
+                ed["hamming"].to_pylist(),
+                ed["join_key"].to_pylist(),
+            ):
+                for u in groups.get(k, [k]):
+                    if side == "url_a":
+                        ua.append(u); ub.append(b)
+                    else:
+                        ua.append(a); ub.append(u)
+                    hh.append(h)
+            return pa.table(
+                {
+                    "url_a": pa.array(ua, type=pa.string()),
+                    "url_b": pa.array(ub, type=pa.string()),
+                    "hamming": pa.array(hh, type=pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return fn
+
+    e = edges.select_columns(["url_a", "url_b", "hamming"])
+    u1 = e.map_batches(tag_edges("url_a"), batch_format="pyarrow").union(
+        members.map_batches(tag_members, batch_format="pyarrow")
+    )
+    pass_a = bucketed_group_apply(
+        u1, "join_key", expand_side("url_a"), num_buckets=cfg.num_buckets
+    )
+    u2 = pass_a.map_batches(tag_edges("url_b"), batch_format="pyarrow").union(
+        members.map_batches(tag_members, batch_format="pyarrow")
+    )
+    cross = bucketed_group_apply(
+        u2, "join_key", expand_side("url_b"), num_buckets=cfg.num_buckets
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["url_a"].to_numpy(zero_copy_only=False)
+        b = batch["url_b"].to_numpy(zero_copy_only=False)
+        swap = a > b
+        return pa.table(
+            {
+                "url_a": pa.array(np.where(swap, b, a), type=pa.string()),
+                "url_b": pa.array(np.where(swap, a, b), type=pa.string()),
+                "hamming": batch["hamming"],
+            },
+            schema=out_schema,
+        )
+
+    return intra.union(cross.map_batches(orient, batch_format="pyarrow"))
+
+
 def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
     """pages -> verified SimHash edges (url_a, url_b, hamming, kind).
 
-    Unlike MinHash verification, the fingerprints travel WITH the pairs,
-    so verification is a vectorized popcount — no join stage at all.
+    Fully distributed: exact-dup classes collapse to representatives
+    before banding (prune_exact), popcount verification happens inside
+    the band bucket, pair dedupe is a bucketed groupby, and pruned
+    classes are reattached by bucketed hash joins — no stage collects
+    data to the driver (the r1 ``collect_table`` pass is gone).
     """
     cfg = cfg or SimHashConfig()
-    signed = add_simhash(ds.select_columns(["url", "text"]), cfg)
-    blocks = signed.map_batches(
-        lambda t: _explode_blocks(t.select(["url", "simhash"]), cfg.bands),
-        batch_format="pyarrow",
+    if cfg.prune_exact:
+        signed = add_simhash(
+            ds.select_columns(["url", "text"]), cfg, eq_col="eq_key"
+        ).select_columns(["url", "simhash", "eq_key"])
+        reps, members = _split_rep_groups(signed, cfg.num_buckets)
+    else:
+        reps = add_simhash(ds.select_columns(["url", "text"]), cfg).select_columns(
+            ["url", "simhash"]
+        )
+        members = None
+    blocks = reps.map_batches(
+        lambda t: _explode_blocks(t, cfg.bands), batch_format="pyarrow"
     )
     pairs = bucketed_group_apply(
         blocks,
         "block_key",
-        lambda g: _emit_pairs_bucket(g, cfg.band_cap),
+        lambda g: _emit_pairs_bucket(g, cfg.band_cap, cfg.max_hamming),
         num_buckets=cfg.num_buckets,
     )
+    edges = _dedupe_pairs(pairs, cfg.num_buckets)
+    if members is not None:
+        edges = _expand_edges(edges, members, cfg)
 
-    # fingerprints travel WITH the pairs, so dedupe + verification need no
-    # join and no second shuffle: one vectorized driver pass (pandas
-    # drop_duplicates + popcount) replaces the bucketed dedupe + verify
-    # map that cost a full extra sort (same lesson as minhash's
-    # driver-verify regime; documented scale bound: the pair list fits
-    # the driver — beyond that restore a bucketed dedupe on url_a).
-    from doppel_ray.stages.minhash import collect_table
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_a": batch["url_a"],
+                "url_b": batch["url_b"],
+                "hamming": batch["hamming"],
+                "kind": pa.array(["simhash"] * batch.num_rows, type=pa.string()),
+            },
+            schema=SIMHASH_EDGES_SCHEMA,
+        )
 
-    t = collect_table(
-        pairs.map_batches(
-            lambda b: b.select(_PAIRS_SCHEMA.names), batch_format="pyarrow"
-        ),
-        _PAIRS_SCHEMA,
-    )
-    if t.num_rows == 0:
-        return ray.data.from_arrow(SIMHASH_EDGES_SCHEMA.empty_table())
-    df = t.to_pandas().drop_duplicates(subset=["url_a", "url_b"])
-    d = T.hamming_distance64(
-        df["sim_a"].to_numpy().view(np.uint64),
-        df["sim_b"].to_numpy().view(np.uint64),
-    )
-    keep = d <= cfg.max_hamming
-    out = pa.table(
-        {
-            "url_a": pa.array(df["url_a"].to_numpy()[keep], type=pa.string()),
-            "url_b": pa.array(df["url_b"].to_numpy()[keep], type=pa.string()),
-            "hamming": pa.array(d[keep].astype(np.int64)),
-            "kind": pa.array(["simhash"] * int(keep.sum()), type=pa.string()),
-        },
-        schema=SIMHASH_EDGES_SCHEMA,
-    )
-    return ray.data.from_arrow(out)
+    return edges.map_batches(finalize, batch_format="pyarrow")

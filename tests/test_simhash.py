@@ -100,6 +100,41 @@ class TestPipeline:
                 for j in range(i + 1, len(members)):
                     assert (members[i], members[j]) in ham0
 
+    def test_prune_exact_matches_unpruned(self, synth_corpus):
+        """prune_exact (collapse classes -> band reps -> distributed
+        reattach) must reproduce the unpruned pipeline's edges exactly
+        (pairs AND distances) on a corpus with real exact-dup clusters."""
+        pages = synth_corpus.pages.select(["url", "text"])
+        cfg_off = simhash.SimHashConfig(
+            band_cap=10**9, num_buckets=8, prune_exact=False
+        )
+        cfg_on = simhash.SimHashConfig(band_cap=10**9, num_buckets=8)
+        e_off = simhash.simhash_edges(rd.from_arrow(pages), cfg_off).take_all()
+        e_on = simhash.simhash_edges(rd.from_arrow(pages), cfg_on).take_all()
+
+        def norm(rows):
+            return {
+                (min(r["url_a"], r["url_b"]), max(r["url_a"], r["url_b"])): r["hamming"]
+                for r in rows
+            }
+
+        assert norm(e_on) == norm(e_off)
+        assert len(e_on) == len(norm(e_on)), "duplicate pairs emitted"
+
+    def test_mega_exact_group_full_clique_over_cap(self):
+        """80 identical docs (> band_cap): pre-pruning collapses them to
+        one rep, expansion restores the full 3160-pair clique at h=0 —
+        the r1 ring would have surfaced only 79 pairs."""
+        n = 80
+        urls = [f"u{i:03d}" for i in range(n)]
+        t = pa.table({"url": urls, "text": ["same boilerplate text here"] * n})
+        cfg = simhash.SimHashConfig(band_cap=5, num_buckets=4)
+        edges = simhash.simhash_edges(rd.from_arrow(t), cfg).take_all()
+        pairs = {(r["url_a"], r["url_b"]) for r in edges}
+        assert len(edges) == len(pairs) == n * (n - 1) // 2
+        assert all(r["hamming"] == 0 for r in edges)
+        assert all(r["url_a"] < r["url_b"] for r in edges)
+
     def test_capped_hot_block_keeps_connectivity(self):
         """A mega-cluster of identical docs above the cap still comes out
         connected (ring emission), with dropped-pair counts surfaced."""
