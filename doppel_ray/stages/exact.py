@@ -48,9 +48,12 @@ def duplicated_key_values(ds: Dataset, key: str) -> pa.Array:
         .aggregate(Count(alias_name="cnt"))
     )
     dup = counts.filter(expr="cnt > 1")
-    # take_all() returns list[dict]; the key set is small (distinct dup keys)
-    rows = dup.select_columns([key]).take_all()
-    return pa.array([r[key] for r in rows])
+    from doppel_ray.stages.util import collect_table
+
+    t = collect_table(dup.select_columns([key]))
+    if t.num_rows == 0:
+        return pa.array([])
+    return t[key].combine_chunks()
 
 
 def semi_filter(ds: Dataset, key: str, values: pa.Array) -> Dataset:

@@ -499,16 +499,7 @@ class PairVerifier:
         return _verify_batch(batch, self.lookup, self.threshold, self.mode)
 
 
-def collect_table(ds: Dataset, schema: pa.Schema | None = None) -> pa.Table:
-    """Materialize a Dataset to one Arrow table WITHOUT the per-row dict
-    conversion of take_all (vectorized batch concat)."""
-    batches = list(ds.iter_batches(batch_format="pyarrow"))
-    batches = [b for b in batches if b.num_rows]
-    if not batches:
-        return schema.empty_table() if schema is not None else pa.table({})
-    if schema is not None:
-        batches = [b.select(schema.names).cast(schema) for b in batches]
-    return pa.concat_tables(batches)
+from doppel_ray.stages.util import collect_table  # noqa: E402 (re-export)
 
 
 def dedupe_pairs(pairs: Dataset, num_buckets: int) -> Dataset:

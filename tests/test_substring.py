@@ -121,6 +121,29 @@ class TestPipeline:
         assert ("short2", "long1") in got
         assert not any(a == "unrelated" or b == "unrelated" for a, b in got)
 
+    def test_probe_sharding_past_probe_cap(self, ray_session):
+        """More anchor-less short docs than probe_cap: sharded broadcast
+        rounds must scan EVERY probe (r1 dropped the overflow)."""
+        n_short = 12
+        shorts = [f"needle{i:02d}x" for i in range(n_short)]  # < window
+        containers = [
+            f"padding words before {s} and padding words after " * 3
+            for s in shorts
+        ]
+        t = pa.table(
+            {
+                "url": [f"s{i:02d}" for i in range(n_short)]
+                + [f"c{i:02d}" for i in range(n_short)],
+                "text": shorts + containers,
+            }
+        )
+        cfg = substring.ContainmentConfig(probe_cap=5, num_buckets=4)
+        edges = substring.containment_edges(rd.from_arrow(t), cfg).take_all()
+        got = {(r["url_a"], r["url_b"]) for r in edges}
+        for i in range(n_short):
+            assert (f"s{i:02d}", f"c{i:02d}") in got, f"probe {i} lost"
+        assert len(edges) == len(got), "duplicate edges across shards"
+
     def test_normalize_false_raw_semantics(self, ray_session):
         t = pa.table(
             {
