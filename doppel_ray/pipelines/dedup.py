@@ -56,6 +56,62 @@ def minhash_config(cfg: C.JobConfig) -> minhash.MinHashConfig:
     )
 
 
+def _near_groups(filtered: Dataset, labels: dict[str, str]) -> list[dict]:
+    """Near-dup clusters -> kind-tagged group rows for the report.
+
+    One semi-filtered corpus pass fetches the clustered docs' sizes
+    (clustered docs are a small subset by construction); per cluster the
+    report row keeps the LARGEST member as the representative ``size``
+    and counts everything beyond it as ``wasted_space`` — for near-dups
+    sizes differ, so "all but one copy" generalizes to "all bytes beyond
+    the biggest member".
+    """
+    import pyarrow.compute as pc
+
+    from doppel_ray.functions.hashing import byte_lengths
+    from doppel_ray.stages.exact import semi_filter
+
+    urls = pa.array(list(labels.keys()), type=pa.string())
+    sizes: dict[str, int] = {}
+    sel = semi_filter(filtered.select_columns(["url", "text"]), "url", urls)
+
+    def add_size(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "size": pa.array(byte_lengths(batch["text"])),
+            }
+        )
+
+    for b in sel.map_batches(add_size, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for u, s in zip(b["url"].to_pylist(), b["size"].to_pylist()):
+            sizes[u] = int(s)
+
+    clusters: dict[str, list[str]] = {}
+    for u, c in labels.items():
+        clusters.setdefault(c, []).append(u)
+    out = []
+    for label, members in sorted(clusters.items()):
+        if len(members) < 2:
+            continue
+        members.sort()
+        msizes = [sizes.get(u, 0) for u in members]
+        biggest = max(msizes)
+        out.append(
+            {
+                "group_id": label,
+                "count": len(members),
+                "size": biggest,
+                "wasted_space": sum(msizes) - biggest,
+                "files": members,
+                "kind": "near",
+            }
+        )
+    return out
+
+
 def find_duplicates(
     source: Dataset | str | list[str],
     cfg: C.JobConfig | None = None,
@@ -67,7 +123,10 @@ def find_duplicates(
     """Run the full find pipeline; returns (report, groups dataset).
 
     ``near=True`` additionally runs MinHash/LSH and merges near-dup
-    clusters into the report's group list (kind-tagged).
+    clusters into the report's group list, kind-tagged: exact groups
+    carry ``kind="exact"``; each near-dup cluster becomes a
+    ``kind="near"`` group whose ``size`` is the largest member and whose
+    ``wasted_space`` is the total bytes beyond that largest member.
     ``out_dir`` writes groups (and cluster assignments when near=True) as
     partitioned parquet. ``with_stats=False`` skips the total/processed
     row counts (each an extra pipeline execution) for benchmarking.
@@ -84,15 +143,19 @@ def find_duplicates(
 
     groups_ds = exact.exact_duplicate_groups(filtered)
     groups = groups_ds.take_all()
+    for g in groups:
+        g["kind"] = "exact"
 
     if near:
         edges = minhash.near_dup_edges(filtered, minhash_config(cfg))
         labels = cluster_mod.cluster_edges(edges)
-        if out_dir is not None and labels:
-            assigned = cluster_mod.assign_clusters(filtered, labels)
-            assigned.select_columns(["url", "cluster_id"]).write_parquet(
-                f"{out_dir}/clusters"
-            )
+        if labels:
+            if out_dir is not None:
+                assigned = cluster_mod.assign_clusters(filtered, labels)
+                assigned.select_columns(["url", "cluster_id"]).write_parquet(
+                    f"{out_dir}/clusters"
+                )
+            groups.extend(_near_groups(filtered, labels))
 
     duration = time.monotonic() - t0
     rep = R.report_from_groups(

@@ -87,6 +87,7 @@ def _report_dict(report: DuplicateReport) -> dict:
         "groups": [
             {
                 "id": i + 1,
+                "kind": g.get("kind", "exact"),
                 "count": int(g["count"]),
                 "size": int(g["size"]),
                 "wasted_space": int(g["wasted_space"]),

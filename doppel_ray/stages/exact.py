@@ -83,6 +83,7 @@ def bucketed_group_apply(
     per_bucket_fn,
     *,
     num_buckets: int = 64,
+    materialize_input: bool = False,
 ) -> Dataset:
     """Group-by ``key`` with per-BUCKET (not per-group) Python dispatch.
 
@@ -93,7 +94,15 @@ def bucketed_group_apply(
     Arrow table, where a pandas groupby resolves the fine-grained groups
     at C speed. ``num_buckets`` bounds shuffle fan-in; size it ~2-4x the
     cluster's total CPUs.
+
+    ``materialize_input=True`` cuts the lazy upstream chain before the
+    sort: a compute-heavy map fused into Ray's sort operator runs at the
+    shuffle's task granularity (measured 3-6x slower than the same map
+    as a free map stage). Use it when the upstream map is expensive AND
+    its output is narrow relative to the corpus.
     """
+    if materialize_input:
+        ds = ds.materialize()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import numpy as np

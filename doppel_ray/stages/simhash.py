@@ -405,14 +405,24 @@ def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
     data to the driver (the r1 ``collect_table`` pass is gone).
     """
     cfg = cfg or SimHashConfig()
+    # The signed table is materialized BEFORE the first shuffle: a map
+    # fused into Ray's sort operator runs at the shuffle's task
+    # granularity and measured 3-6x slower than the same map as a free
+    # map stage (80s fused vs 26s pre-materialized at 200k docs). The
+    # table is narrow — (url, 2 x int64), one row per doc — so the
+    # object-store cost is trivial next to the corpus.
     if cfg.prune_exact:
-        signed = add_simhash(
-            ds.select_columns(["url", "text"]), cfg, eq_col="eq_key"
-        ).select_columns(["url", "simhash", "eq_key"])
+        signed = (
+            add_simhash(ds.select_columns(["url", "text"]), cfg, eq_col="eq_key")
+            .select_columns(["url", "simhash", "eq_key"])
+            .materialize()
+        )
         reps, members = _split_rep_groups(signed, cfg.num_buckets)
     else:
-        reps = add_simhash(ds.select_columns(["url", "text"]), cfg).select_columns(
-            ["url", "simhash"]
+        reps = (
+            add_simhash(ds.select_columns(["url", "text"]), cfg)
+            .select_columns(["url", "simhash"])
+            .materialize()
         )
         members = None
     blocks = reps.map_batches(
@@ -423,8 +433,13 @@ def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
         "block_key",
         lambda g: _emit_pairs_bucket(g, cfg.band_cap, cfg.max_hamming),
         num_buckets=cfg.num_buckets,
+        materialize_input=True,  # keep the explode map out of the sort
     )
-    edges = _dedupe_pairs(pairs, cfg.num_buckets)
+    # segment the plan at stage boundaries: the pair stream is tiny
+    # relative to the corpus, and leaving the whole DAG fused makes Ray
+    # interleave four sorts + unions with high run-to-run variance
+    # (57-177s at 200k docs; segmented: stable ~40s)
+    edges = _dedupe_pairs(pairs, cfg.num_buckets).materialize()
     if members is not None:
         edges = _expand_edges(edges, members, cfg)
 

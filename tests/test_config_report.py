@@ -189,3 +189,38 @@ class TestReport:
         out, close = R.resolve_output(".")
         out.close()
         assert (tmp_path / R.DEFAULT_REPORT_FILE).exists()
+
+
+class TestNearReportMerge:
+    def test_near_clusters_merged_kind_tagged(self, ray_session, tmp_path):
+        """ADVICE r1 (low): near=True must surface near-dup clusters in
+        the report's group list (kind-tagged), not discard them."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from doppel_ray.pipelines.dedup import find_duplicates
+
+        base = " ".join(f"token{i:03d}" for i in range(60))
+        near = " ".join(
+            f"token{i:03d}" if i < 57 else f"altered{i}" for i in range(60)
+        )
+        t = pa.table(
+            {
+                "url": ["a", "b", "c", "d", "e"],
+                "text": [base, base, near, "totally unrelated doc qqq " * 5,
+                         "another unique page zzz " * 5],
+            }
+        )
+        rep, _ = find_duplicates(rd.from_arrow(t), near=True, with_stats=False)
+        kinds = {g.get("kind") for g in rep.groups}
+        assert "exact" in kinds and "near" in kinds
+        near_groups = [g for g in rep.groups if g["kind"] == "near"]
+        assert len(near_groups) == 1
+        g = near_groups[0]
+        assert set(g["files"]) == {"a", "b", "c"}
+        assert g["count"] == 3 and g["group_id"] == "a"
+        sizes = [len(base.encode()), len(base.encode()), len(near.encode())]
+        assert g["size"] == max(sizes)
+        assert g["wasted_space"] == sum(sizes) - max(sizes)
+        d = R._report_dict(rep)
+        assert {x["kind"] for x in d["groups"]} == {"exact", "near"}
