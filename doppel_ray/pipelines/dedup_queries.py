@@ -129,6 +129,69 @@ def dedup_stats(sf_dir: str):
 
 
 @query(
+    "extract_dedup",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def extract_dedup(sf_dir: str):
+    """End-to-end html -> extract -> exact-dedup cascade (VERDICT r1 #10).
+
+    Each document is wrapped into an html page (entity-escaped body,
+    binary column — the input_hint page shape), the actor-pool extractor
+    recovers the text, the BYTE-IDENTITY north-rule invariant is
+    asserted distributed (extraction must reproduce the original text
+    exactly — entity decoding inverts the escaping), and keep-first
+    exact dedup runs on the EXTRACTED text. The oracle is the same
+    min-per-text SQL as ``dedup_keep_first``: any extraction corruption
+    surfaces as a hash mismatch.
+    """
+    import html as _html
+
+    from doppel_ray.stages import extract as X
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        payload = [
+            f"<html><head><title>d</title></head><body>{_html.escape(t)}"
+            f"</body></html>".encode()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "orig": batch["text"],
+                "html": pa.array(payload, type=pa.large_binary()),
+            }
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    extracted = X.extract_text(pages, concurrency=2)
+
+    def check_identity(batch: pa.Table) -> pa.Table:
+        # north-rule invariant: extracted text byte-identical per doc
+        import pyarrow.compute as pc
+
+        # extractor keeps title chardata; body follows the fixed "d" prefix
+        got = [t[1:] for t in batch["text"].to_pylist()]
+        orig = batch["orig"].to_pylist()
+        bad = [i for i, (g, o) in enumerate(zip(got, orig)) if g != o]
+        if bad:
+            raise AssertionError(
+                f"extraction not byte-identical for {len(bad)} docs"
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(got, type=pa.large_string()),
+            }
+        )
+
+    clean = extracted.map_batches(check_identity, batch_format="pyarrow")
+    return exact.dedup_keep_first(clean, id_col="doc_id")
+
+
+@query(
     "lang_counts",
     "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
 )

@@ -81,6 +81,83 @@ def test_query_matches_oracle(name, con):
             )
 
 
+# -- non-vacuous dedup oracles (VERDICT r1 #5) --------------------------
+# sf0.001 (and the driver's sf0.01) documents tables contain ZERO
+# duplicate texts, so the dedup oracle rows pass vacuously (0 == 0).
+# This fixture copies the documents table with injected duplicate groups
+# — including one of 71 members, above the default band_cap=64, so the
+# pair-complete clique expansion is exercised against DuckDB.
+
+DUP_QUERIES = [
+    "exact_dup_groups",
+    "quick_hash_groups",
+    "dedup_keep_first",
+    "near_dup_pairs_exact",
+    "dup_clusters",
+    "fingerprint_dup_groups",
+]
+
+_DUP_GROUPS = [  # (source row, target rows) -> all share source's text
+    (0, range(400, 402)),   # group of 3
+    (1, range(402, 405)),   # group of 4
+    (2, range(405, 475)),   # group of 71 (> band_cap=64)
+    (3, range(475, 476)),   # group of 2
+]
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    texts = t["text"].to_pylist()
+    for src, targets in _DUP_GROUPS:
+        for j in targets:
+            texts[j] = texts[src]
+    i = t.schema.get_field_index("text")
+    out = t.set_column(i, "text", pa.array(texts, type=t.schema.field("text").type))
+    d = tmp_path_factory.mktemp("dup_sf")
+    pq.write_table(out, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dup_con(dup_sf_dir):
+    c = duckdb.connect()
+    path = os.path.join(dup_sf_dir, "documents.parquet")
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+@pytest.mark.parametrize("name", DUP_QUERIES)
+def test_dup_query_matches_oracle_nonvacuously(name, dup_con, dup_sf_dir):
+    from doppel_ray import pipelines
+
+    fn = pipelines.registry()[name]
+    sql = pipelines.oracles()[name]
+    got = _canon(_to_pandas(fn(dup_sf_dir)))
+    want = _canon(dup_con.execute(sql).df())
+    # the gate must not pass vacuously: the oracle side has real rows
+    total_docs = dup_con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    if name == "dedup_keep_first":
+        assert 0 < len(want) < total_docs
+    else:
+        assert len(want) > 0, f"{name}: oracle returned no rows — vacuous"
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]) or pd.api.types.is_float_dtype(want[c]):
+            pd.testing.assert_series_equal(
+                got[c].astype(float), want[c].astype(float),
+                check_names=False, rtol=1e-9, atol=1e-12,
+            )
+        else:
+            assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), (
+                f"{name}: column {c} differs"
+            )
+
+
 def test_entry_smoke():
     import __ray_entry__ as e
 
