@@ -126,6 +126,53 @@ def minhash_signatures(
     return minhash_from_shingles(hashes, offsets, a, b)
 
 
+def oph_signatures(
+    hashes: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """One-permutation MinHash (Li/Owen/Zhang, NIPS 2012) with circular
+    rotation densification (Shrivastava/Li, ICML 2014).
+
+    ONE mixed-hash pass replaces the classic kernel's ``num_perm``
+    multiply-add passes: each shingle lands in bin ``h % num_perm``, the
+    per-(doc, bin) minimum is one vectorized ``np.minimum.at`` (numpy's
+    fast path for integer minimum scatter), and empty bins borrow the
+    nearest filled bin's value to their left (circularly), keeping the
+    collision probability of aligned bins at the Jaccard similarity.
+    ~30x cheaper than the classic kernel at the bench shingle rate;
+    capture statistics are re-pinned by the recall harness
+    (tests/test_minhash.py: recall >= 0.99 at the default config).
+    """
+    P = num_perm
+    n_docs = len(offsets)
+    MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sig = np.full(n_docs * P, MAX, dtype=np.uint64)
+    if len(hashes) and n_docs:
+        counts = np.diff(np.concatenate([offsets, [len(hashes)]]))
+        doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        with np.errstate(over="ignore"):
+            h = (hashes + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(33)
+        bins = (h % np.uint64(P)).astype(np.int64)
+        np.minimum.at(sig, doc_ids * P + bins, h)
+    sig = sig.reshape(n_docs, P)
+    filled = sig != MAX
+    if filled.all():
+        return sig
+    any_f = filled.any(axis=1)
+    ar = np.arange(P)
+    # circular forward-fill of the last filled bin index: duplicate the
+    # index row, running-max, keep the right half (wraps around)
+    idx = np.where(filled, ar[None, :], -1)
+    idx2 = np.concatenate(
+        [idx, np.where(filled, ar[None, :] + P, -1)], axis=1
+    )
+    ff = np.maximum.accumulate(idx2, axis=1)[:, P:]
+    src = np.maximum(ff, 0) % P
+    out = np.take_along_axis(sig, src, axis=1)
+    out[~any_f] = 0  # shingle-less docs: all-zero signature (as classic)
+    return out
+
+
 def band_keys(sigs: np.ndarray, bands: int, seed: int = 0) -> np.ndarray:
     """Fold each signature band into one int64 LSH key (n_docs x bands).
 

@@ -86,6 +86,11 @@ class MinHashConfig:
     verify_mode: str = "jaccard"
     num_buckets: int = 64    # band-key shuffle buckets (~2-4x total CPUs)
     batch_size: int = 2048
+    # "oph" (default): one-permutation hashing + rotation densification —
+    # one hash pass instead of num_perm, ~30x cheaper signing; capture
+    # statistics pinned by the recall harness. "classic": the textbook
+    # num_perm multiply-add permutation kernel (kept for A/B checks).
+    kernel: str = "oph"
     # candidate-doc count below which the verify lookup is broadcast via
     # ray.put and the pair loop runs distributed (fastest when small)
     broadcast_limit: int = 20000
@@ -175,10 +180,13 @@ def sign_batch(
     """text -> flattened (url, band_key[, eq_key]) candidate rows (one per
     band). ``with_eq`` (pair-complete mode) adds the equivalence key the
     hot-band ring orders by."""
-    a, b = _perms(cfg.num_perm, cfg.seed)
     byte_docs = _doc_bytes(batch["text"], cfg)
     hashes, offsets = T.shingle_hashes(byte_docs, cfg.shingle_n)
-    sigs = T.minhash_from_shingles(hashes, offsets, a, b)
+    if cfg.kernel == "oph":
+        sigs = T.oph_signatures(hashes, offsets, cfg.num_perm, cfg.seed)
+    else:
+        a, b = _perms(cfg.num_perm, cfg.seed)
+        sigs = T.minhash_from_shingles(hashes, offsets, a, b)
     keys = T.band_keys(sigs, cfg.bands, seed=cfg.seed)  # (n, bands) int64
     urls = batch["url"].to_pylist()
     cols = {

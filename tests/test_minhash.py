@@ -79,6 +79,57 @@ class TestKernels:
         assert len(sh) == 2  # "ab" and "ba"
 
 
+class TestOPHKernel:
+    """One-permutation hashing + densification (the default signer)."""
+
+    def _sigs(self, docs, num_perm=128, seed=42, n=5):
+        h, off = T.shingle_hashes(docs, n)
+        return T.oph_signatures(h, off, num_perm, seed)
+
+    def test_identical_docs_identical_signatures(self):
+        s = self._sigs([b"the same document text here"] * 2)
+        assert (s[0] == s[1]).all()
+
+    def test_batch_independence(self):
+        docs = [b"alpha beta gamma words", b"delta epsilon zeta more", b"eta theta"]
+        full = self._sigs(docs)
+        solo = self._sigs([docs[1]])
+        assert (full[1] == solo[0]).all()
+
+    def test_estimates_jaccard(self):
+        rng = np.random.default_rng(5)
+        words = [f"w{i}" for i in range(400)]
+        base = [words[i] for i in rng.integers(0, 400, 300)]
+        mut = list(base)
+        for p in rng.choice(300, 40, replace=False):
+            mut[p] = words[int(rng.integers(0, 400))] + "x"
+        d1 = " ".join(base).encode()
+        d2 = " ".join(mut).encode()
+        sigs = self._sigs([d1, d2], num_perm=256)
+        est = (sigs[0] == sigs[1]).mean()
+        sh = T.unique_shingles([d1, d2], 5)
+        true = T.exact_jaccard(sh[0], sh[1])
+        assert abs(est - true) < 0.15
+
+    def test_short_doc_densification_deterministic(self):
+        s1 = self._sigs([b"tiny"])  # fewer shingles than bins
+        s2 = self._sigs([b"tiny"])
+        assert (s1 == s2).all()
+        MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        assert (s1 != MAX).all(), "densification left empty bins"
+
+    def test_empty_docs_share_signature(self):
+        s = self._sigs([b"", b""])
+        assert (s[0] == s[1]).all()
+
+    def test_disjoint_docs_share_no_bands(self):
+        sigs = self._sigs(
+            [b"aaaa bbbb cccc dddd eeee", b"ffff gggg hhhh iiii jjjj"]
+        )
+        keys = T.band_keys(sigs, 32)
+        assert (keys[0] != keys[1]).all()
+
+
 class TestRecallHarness:
     """The north-rule acceptance gate at test scale."""
 
