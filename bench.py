@@ -116,6 +116,39 @@ def run_bench() -> dict:
 
         timed("near_documents", q_near_documents)
 
+        # 2b. SimHash near-dup over the synthetic page corpus
+        def q_simhash_pages():
+            from doppel_ray.stages import simhash
+
+            ds = read_pages(bench_dir)
+            return simhash.simhash_edges(ds, simhash.SimHashConfig()).count()
+
+        timed("simhash_pages", q_simhash_pages)
+
+        # 2c. exact-substring containment over the sf documents table
+        def q_containment_documents():
+            import pyarrow as pa
+
+            from doppel_ray.stages import substring
+
+            ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+
+            def to_pages(b):
+                return pa.table(
+                    {
+                        "url": pa.array(
+                            [f"{i:012d}" for i in b["doc_id"].to_pylist()]
+                        ),
+                        "text": b["text"],
+                    }
+                )
+
+            pages = ds.map_batches(to_pages, batch_format="pyarrow")
+            cfg = substring.ContainmentConfig(normalize=False)
+            return substring.containment_edges(pages, cfg).count()
+
+        timed("containment_documents", q_containment_documents)
+
     # 3. exact cascade over the synthetic page corpus (headline)
     def q_exact_pages():
         nonlocal n_pages

@@ -11,15 +11,28 @@ the ``IsSet`` semantics of cmd/find.go:113-147, implemented here by
 argparse defaults of None). The reference's mis-wired regex flags
 (cmd/find.go:70-80 checks names the flags never carry) are implemented
 as INTENDED, not as shipped.
+
+CLI-shell parity with the reference ``main.go``:
+* bare invocation routes to ``find`` (DefaultCommand, main.go:99):
+  ``python -m doppel_ray CORPUS_DIR`` == ``... find CORPUS_DIR``
+* ``--version`` prints the engine version (main.go:25,65)
+* SIGINT/SIGTERM trigger a graceful shutdown — log, ``ray.shutdown()``,
+  exit 130 (main.go:47-54); a checkpointed ``job`` interrupted mid-stage
+  resumes from its manifest on the next run.
 """
 
 from __future__ import annotations
 
 import argparse
+import signal
 import sys
 
+from doppel_ray import __version__
 from doppel_ray import config as C
+from doppel_ray import logger as L
 from doppel_ray.pipelines import report as R
+
+_COMMANDS = {"find", "preset", "job"}
 
 
 def _overlay(cfg: C.JobConfig, args: argparse.Namespace) -> C.JobConfig:
@@ -67,6 +80,9 @@ def _add_find_flags(p: argparse.ArgumentParser) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="doppel_ray")
+    ap.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
+    )
     ap.add_argument("--config", default=None, help="job config file (toml/yaml/json)")
     sub = ap.add_subparsers(dest="command")
 
@@ -86,8 +102,24 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _route_default_command(argv: list[str]) -> list[str]:
+    """Bare invocation routes to ``find`` (reference DefaultCommand,
+    main.go:99): the first positional token not naming a subcommand
+    gets ``find`` prepended; pure-flag invocations pass through."""
+    for tok in argv:
+        if tok in ("-h", "--help", "--version"):
+            return argv
+        if tok.startswith("-"):
+            continue
+        if tok in _COMMANDS:
+            return argv
+        return ["find", *argv]
+    return argv
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(_route_default_command(list(argv)))
     if args.command is None:
         build_parser().print_help()
         return 2
@@ -100,6 +132,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = C.load_config(providers)
     cfg = _overlay(cfg, args)
     C.validate(cfg)
+    log = L.configure_from(cfg.log)
 
     import ray
 
@@ -108,6 +141,22 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    # graceful SIGINT/SIGTERM: log, shut the Ray session down, exit 130
+    # (reference main.go:47-54; an interrupted checkpointed job resumes
+    # from its manifest on the next invocation)
+    def _on_signal(signum, frame):
+        log.info("received signal, shutting down", signal=signum)
+        try:
+            ray.shutdown()
+        finally:
+            sys.exit(130)
+
+    for s in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(s, _on_signal)
+        except ValueError:
+            pass  # not the main thread (e.g. under a test runner)
     try:
         if args.command == "job":
             from doppel_ray.pipelines import job as J

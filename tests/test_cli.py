@@ -55,3 +55,29 @@ class TestOverlay:
     def test_preset_overlay(self):
         args = cli.build_parser().parse_args(["preset", "media", "/data"])
         assert cli._overlay(C.default_config(), args).find.preset == "media"
+
+
+class TestCliShell:
+    def test_default_command_routing(self):
+        """Bare invocation routes to find (reference DefaultCommand,
+        main.go:99)."""
+        assert cli._route_default_command(["/data"]) == ["find", "/data"]
+        assert cli._route_default_command(["--near", "/data"]) == [
+            "find", "--near", "/data"
+        ]
+        assert cli._route_default_command(["find", "/data"]) == ["find", "/data"]
+        assert cli._route_default_command(["job", "/d", "--checkpoint-dir", "c"]) == [
+            "job", "/d", "--checkpoint-dir", "c"
+        ]
+        assert cli._route_default_command(["--help"]) == ["--help"]
+        assert cli._route_default_command([]) == []
+
+    def test_version_flag(self, capsys):
+        import pytest
+
+        from doppel_ray import __version__
+
+        with pytest.raises(SystemExit) as ei:
+            cli.build_parser().parse_args(["--version"])
+        assert ei.value.code == 0
+        assert __version__ in capsys.readouterr().out
