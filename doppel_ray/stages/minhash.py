@@ -914,17 +914,23 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     know they crossed the scale boundary.
     """
     cfg = cfg or MinHashConfig()
-    # distributed pair dedupe BEFORE anything touches the pair stream: a
-    # pair surfaces from up to ``bands`` band groups in different
-    # buckets (measured 2.65M raw rows -> 118k distinct pairs at 200k
-    # docs); the 1.3s bucketed shuffle cuts the driver collect from 7s
-    # to 0.3s and bounds what the driver ever sees by DISTINCT pairs
-    pairs = dedupe_pairs(candidate_pairs(ds, cfg), cfg.num_buckets)
+    pairs = candidate_pairs(ds, cfg)
     scale = cfg.scale_mode
+    if scale is not True:
+        # distributed pair dedupe: a pair surfaces from up to ``bands``
+        # band groups in different buckets (measured 2.65M raw rows ->
+        # 118k distinct pairs at 200k docs); the 1.3s bucketed shuffle
+        # cuts the driver collect from 7s to 0.3s and bounds what the
+        # driver ever sees by DISTINCT pairs. Explicit scale_mode=True
+        # skips it: the two-pass join's first bucket (on url_a) already
+        # co-locates and dedupes every copy, so a separate all-to-all
+        # would be pure overhead (measured +20s on the 400k scaling
+        # bench).
+        pairs = dedupe_pairs(pairs, cfg.num_buckets)
     if scale is None:
-        # auto-selection needs the pair count; materialize so the count
-        # pass is not thrown away (pairs live distributed in the object
-        # store — never on the driver)
+        # auto-selection needs the (deduped) pair count; materialize so
+        # the count pass is not thrown away (pairs live distributed in
+        # the object store — never on the driver)
         pairs = pairs.materialize()
         scale = pairs.count() > cfg.driver_verify_limit
     if scale:
