@@ -72,10 +72,14 @@ def run_bench() -> dict:
 
     bench_dir = ensure_bench_corpus()
 
-    # warm OS page cache (untimed) so we measure compute+shuffle, not
-    # first-touch disk reads
+    # warm OS page cache AND spawn the map-worker pool (untimed) so we
+    # measure compute+shuffle, not first-touch disk reads or process
+    # startup (worker spawn measured ~5-20s on the first map stage)
     read_pages(bench_dir).count()
     read_documents(SF_DIR).count()
+    read_pages(bench_dir).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     queries: dict[str, float] = {}
     n_pages = 0

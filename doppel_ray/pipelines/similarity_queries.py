@@ -16,6 +16,33 @@ import pyarrow as pa
 from doppel_ray.pipelines import finalize, query
 from doppel_ray.sources.parquet import read_documents
 from doppel_ray.stages import cluster, minhash
+from doppel_ray.stages.util import collect_table
+
+
+def _edges_to_ids(
+    edges, value_col: str | None = None, value_type: pa.DataType | None = None
+) -> pa.Table:
+    """(url_a, url_b[, value]) edges -> int id pair table (vectorized —
+    zero-padded url ids cast straight back to int64, no row dicts)."""
+    import pyarrow.compute as pc
+
+    cols = ["url_a", "url_b"] + ([value_col] if value_col else [])
+    t = collect_table(edges.select_columns(cols))
+    if t.num_rows == 0:
+        out = {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+        if value_col:
+            out[value_col] = pa.array([], type=value_type or pa.float64())
+        return pa.table(out)
+    out = {
+        "id_a": pc.cast(t["url_a"], pa.int64()),
+        "id_b": pc.cast(t["url_b"], pa.int64()),
+    }
+    if value_col:
+        out[value_col] = pc.cast(t[value_col], value_type) if value_type else t[value_col]
+    return pa.table(out)
 
 
 def _docs_as_pages(sf_dir: str):
@@ -54,15 +81,7 @@ def near_dup_pairs_exact(sf_dir: str):
     ds = _docs_as_pages(sf_dir)
     cfg = minhash.MinHashConfig(threshold=1.0, normalize=False, verify_mode="exact")
     edges = minhash.near_dup_edges(ds, cfg)
-    rows = edges.take_all()
-    return pa.table(
-        {
-            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
-            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
-            "similarity": pa.array([r["similarity"] for r in rows]),
-        },
-        schema=PAIRS_SCHEMA,
-    )
+    return _edges_to_ids(edges, "similarity", pa.float64()).cast(PAIRS_SCHEMA)
 
 
 @query("minhash_near_dup")  # rows-only: LSH at tau=0.8 is not SQL-expressible
@@ -70,15 +89,7 @@ def minhash_near_dup(sf_dir: str):
     """Standard near-dedup config (tau=0.8, normalized shingles)."""
     ds = _docs_as_pages(sf_dir)
     edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
-    rows = edges.take_all()
-    return pa.table(
-        {
-            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
-            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
-            "similarity": pa.array([r["similarity"] for r in rows]),
-        },
-        schema=PAIRS_SCHEMA,
-    )
+    return _edges_to_ids(edges, "similarity", pa.float64()).cast(PAIRS_SCHEMA)
 
 
 @query(
@@ -125,14 +136,7 @@ def simhash_near_dup(sf_dir: str):
 
     ds = _docs_as_pages(sf_dir)
     edges = simhash.simhash_edges(ds, simhash.SimHashConfig())
-    rows = edges.take_all()
-    return pa.table(
-        {
-            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
-            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
-            "hamming": pa.array([r["hamming"] for r in rows], type=pa.int64()),
-        }
-    )
+    return _edges_to_ids(edges, "hamming", pa.int64())
 
 
 @query(
@@ -154,13 +158,7 @@ def containment_pairs(sf_dir: str):
     ds = _docs_as_pages(sf_dir)
     cfg = substring.ContainmentConfig(normalize=False)
     edges = substring.containment_edges(ds, cfg)
-    rows = edges.take_all()
-    return pa.table(
-        {
-            "id_a": pa.array([int(r["url_a"]) for r in rows], type=pa.int64()),
-            "id_b": pa.array([int(r["url_b"]) for r in rows], type=pa.int64()),
-        }
-    )
+    return _edges_to_ids(edges)
 
 
 @query(
