@@ -56,14 +56,20 @@ def duplicated_key_values(ds: Dataset, key: str) -> pa.Array:
     return t[key].combine_chunks()
 
 
-def semi_filter(ds: Dataset, key: str, values: pa.Array) -> Dataset:
+def semi_filter(
+    ds: Dataset, key: str, values: pa.Array, *, invert: bool = False
+) -> Dataset:
     """Keep rows whose ``key`` is in the broadcast value set (broadcast
-    semi-join: one ``ray.put``, zero-copy read in every task)."""
+    semi-join: one ``ray.put``, zero-copy read in every task).
+    ``invert=True`` keeps rows NOT in the set (anti-join)."""
     ref = ray.put(values)
 
     def fn(batch: pa.Table) -> pa.Table:
         vals = pc.cast(ray.get(ref), batch[key].type)
-        return batch.filter(pc.is_in(batch[key], value_set=vals))
+        mask = pc.is_in(batch[key], value_set=vals)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -91,6 +91,13 @@ class MinHashConfig:
     # statistics pinned by the recall harness. "classic": the textbook
     # num_perm multiply-add permutation kernel (kept for A/B checks).
     kernel: str = "oph"
+    # collapse identical (normalized) texts to one representative before
+    # signing/banding/verification and restore the full pair relation by
+    # distributed expansion afterward (stages/prune.py) — identical
+    # texts have identical shingle sets, so sim(member, x) ==
+    # sim(rep, x) and the expansion is exact. Kills the exact-dup
+    # mega-clique + redundant-verify cost (30-50% of real web corpora).
+    prune_exact: bool = True
     # candidate-doc count below which the verify lookup is broadcast via
     # ray.put and the pair loop runs distributed (fastest when small)
     broadcast_limit: int = 20000
@@ -811,6 +818,54 @@ def _distributed_verify(ds: Dataset, pairs: Dataset, cfg: MinHashConfig) -> Data
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def _prune_exact_classes(
+    ds: Dataset, cfg: MinHashConfig
+) -> tuple[Dataset, Dataset | None]:
+    """Collapse identical-text classes to representatives (min url).
+
+    One NARROW (url, eq_key) shuffle resolves the classes — the corpus
+    text never moves. The non-representative url set (bounded by
+    duplicated docs, the exact cascade's documented broadcast bound) is
+    broadcast for an anti semi-join that drops the redundant copies
+    from the stream. Returns (pruned ds, members) — members is None
+    when the corpus has no duplicate texts.
+    """
+    from doppel_ray.functions.hashing import sip64
+    from doppel_ray.stages.prune import split_rep_groups
+
+    def eq_rows(batch: pa.Table) -> pa.Table:
+        # exact verify compares RAW content, so classes must be raw-equal
+        # there; jaccard measures are invariant under the configured
+        # normalization, so normalized-equal suffices (and prunes more)
+        if cfg.normalize and cfg.verify_mode != "exact":
+            texts = T.normalize_texts(batch["text"])
+        else:
+            texts = batch["text"].to_pandas()
+        eq = sip64(texts).view(np.int64)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "eq_key": pa.array(eq, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(
+        eq_rows, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    _, members = split_rep_groups(keyed, cfg.num_buckets)
+    mem_t = collect_table(members, MEMBERS_FILTER_SCHEMA)
+    non_rep = mem_t.filter(
+        pc.invert(pc.equal(mem_t["rep"], mem_t["url"]))
+    )["url"].combine_chunks()
+    if len(non_rep) == 0:
+        return ds, None
+    pruned = semi_filter(ds, "url", non_rep, invert=True)
+    return pruned, members
+
+
+MEMBERS_FILTER_SCHEMA = pa.schema([("rep", pa.string()), ("url", pa.string())])
+
+
 def _expand_cliques(edges: Dataset) -> Dataset:
     """Pair-complete expansion for equivalence contracts.
 
@@ -914,6 +969,9 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     know they crossed the scale boundary.
     """
     cfg = cfg or MinHashConfig()
+    members = None
+    if cfg.prune_exact:
+        ds, members = _prune_exact_classes(ds, cfg)
     pairs = candidate_pairs(ds, cfg)
     scale = cfg.scale_mode
     if scale is not True:
@@ -935,6 +993,7 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
         scale = pairs.count() > cfg.driver_verify_limit
     if scale:
         edges = _distributed_verify(ds, pairs.drop_columns(["dropped"]), cfg)
+        edges = _reattach_classes(edges, members, cfg)
         if cfg.is_pair_complete:
             edges = _expand_cliques(edges)
 
@@ -950,7 +1009,25 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     # the fully-distributed join before that bound is approached)
     pairs_t = collect_table(pairs, PAIRS_SCHEMA)
     if pairs_t.num_rows == 0:
-        return ray.data.from_arrow(EDGES_SCHEMA.empty_table())
+        # no candidate pairs among representatives — pruned classes may
+        # still carry intra-class edges, so fall through to reattachment
+        empty = pa.schema(
+            [
+                ("url_a", pa.string()),
+                ("url_b", pa.string()),
+                ("similarity", pa.float64()),
+            ]
+        ).empty_table()
+        edges = _reattach_classes(ray.data.from_arrow(empty), members, cfg)
+        if cfg.is_pair_complete:
+            edges = _expand_cliques(edges)
+
+        def tag_empty(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "kind", pa.array(["minhash"] * batch.num_rows, type=pa.string())
+            )
+
+        return edges.map_batches(tag_empty, batch_format="pyarrow")
     pdf = pairs_t.to_pandas()
     both = pa.array(pd.concat([pdf["url_a"], pdf["url_b"]]), type=pa.string())
     cand_urls = pc.unique(both)
@@ -1003,6 +1080,7 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
             cfg,
         )
 
+    edges = _reattach_classes(edges, members, cfg)
     if cfg.is_pair_complete:
         edges = _expand_cliques(edges)
 
@@ -1012,3 +1090,24 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
         )
 
     return edges.map_batches(tag, batch_format="pyarrow")
+
+
+def _reattach_classes(
+    edges: Dataset, members: Dataset | None, cfg: MinHashConfig
+) -> Dataset:
+    """Restore the full pair relation after exact-class pruning:
+    intra-class cliques at similarity 1.0 plus rep-edge cross products
+    (identical texts ⇒ identical shingle sets ⇒ the rep's verified
+    similarity is every member's). No-op when nothing was pruned."""
+    if members is None:
+        return edges
+    from doppel_ray.stages.prune import expand_edges
+
+    return expand_edges(
+        edges,
+        members,
+        cfg.num_buckets,
+        value_col="similarity",
+        value_type=pa.float64(),
+        identity_value=1.0,
+    )

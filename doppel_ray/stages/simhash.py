@@ -189,212 +189,6 @@ def _dedupe_pairs(pairs: Dataset, num_buckets: int) -> Dataset:
     return bucketed_group_apply(pairs, "url_a", per_bucket, num_buckets=num_buckets)
 
 
-def _split_rep_groups(signed: Dataset, num_buckets: int) -> tuple[Dataset, Dataset]:
-    """(url, simhash, eq_key) -> (reps, members).
-
-    One bucketed shuffle on eq_key resolves equality classes; per class
-    the representative is min(url). ``reps`` = one (url, simhash) row per
-    class; ``members`` = (rep, url) rows for EVERY member of classes with
-    >= 2 members (rep included), the expansion side-input.
-    """
-    union_schema = pa.schema(
-        [
-            ("row_kind", pa.int8()),  # 0 = rep, 1 = member
-            ("url", pa.string()),
-            ("simhash", pa.int64()),
-            ("rep", pa.string()),
-        ]
-    )
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        gb = df.groupby("eq_key", sort=False)
-        rep = gb.agg(url=("url", "min"), simhash=("simhash", "first")).reset_index()
-        counts = gb.size()
-        dup_keys = set(counts[counts > 1].index)
-        out = [
-            pa.table(
-                {
-                    "row_kind": pa.array(np.zeros(len(rep), dtype=np.int8)),
-                    "url": pa.array(rep["url"], type=pa.string()),
-                    "simhash": pa.array(rep["simhash"], type=pa.int64()),
-                    "rep": pa.nulls(len(rep), type=pa.string()),
-                },
-                schema=union_schema,
-            )
-        ]
-        if dup_keys:
-            mem = df[df["eq_key"].isin(dup_keys)].merge(
-                rep[["eq_key", "url"]].rename(columns={"url": "rep"}),
-                on="eq_key",
-            )
-            out.append(
-                pa.table(
-                    {
-                        "row_kind": pa.array(np.ones(len(mem), dtype=np.int8)),
-                        "url": pa.array(mem["url"], type=pa.string()),
-                        "simhash": pa.array(mem["simhash"], type=pa.int64()),
-                        "rep": pa.array(mem["rep"], type=pa.string()),
-                    },
-                    schema=union_schema,
-                )
-            )
-        return pa.concat_tables(out)
-
-    split = bucketed_group_apply(
-        signed, "eq_key", per_bucket, num_buckets=num_buckets
-    ).materialize()
-    reps = split.filter(expr="row_kind == 0").select_columns(["url", "simhash"])
-    members = split.filter(expr="row_kind == 1").select_columns(["rep", "url"])
-    return reps, members
-
-
-def _expand_edges(
-    edges: Dataset, members: Dataset, cfg: SimHashConfig
-) -> Dataset:
-    """Distributed reattachment of pruned exact-dup classes.
-
-    * intra-class cliques at Hamming 0 (one bucketed groupby on rep);
-    * each rep-level edge (ra, rb, h) expands to all (u in class(ra),
-      v in class(rb)) pairs at the same h — two bucketed hash joins
-      (url_a side, then url_b side), mirroring minhash's two-pass join.
-    All stages are map_batches / bucketed groupbys — zero driver paths.
-    """
-    out_schema = pa.schema(
-        [("url_a", pa.string()), ("url_b", pa.string()), ("hamming", pa.int64())]
-    )
-
-    # intra-class cliques ------------------------------------------------
-    def cliques(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        ua, ub = [], []
-        for _, grp in df.groupby("rep", sort=False):
-            urls = sorted(grp["url"].tolist())
-            m = len(urls)
-            for i in range(m):
-                for j in range(i + 1, m):
-                    ua.append(urls[i]); ub.append(urls[j])
-        return pa.table(
-            {
-                "url_a": pa.array(ua, type=pa.string()),
-                "url_b": pa.array(ub, type=pa.string()),
-                "hamming": pa.array(np.zeros(len(ua), dtype=np.int64)),
-            },
-            schema=out_schema,
-        )
-
-    intra = bucketed_group_apply(
-        members, "rep", cliques, num_buckets=cfg.num_buckets
-    )
-
-    # cross expansion: join pass on url_a, then on url_b -----------------
-    join_schema = pa.schema(
-        [
-            ("join_key", pa.string()),
-            ("url_a", pa.string()),
-            ("url_b", pa.string()),
-            ("hamming", pa.int64()),
-            ("member", pa.string()),  # non-null rows are membership rows
-        ]
-    )
-
-    def tag_edges(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "join_key": batch[side],
-                    "url_a": batch["url_a"],
-                    "url_b": batch["url_b"],
-                    "hamming": batch["hamming"],
-                    "member": pa.nulls(n, type=pa.string()),
-                },
-                schema=join_schema,
-            )
-
-        return fn
-
-    def tag_members(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "join_key": batch["rep"],
-                "url_a": pa.nulls(n, type=pa.string()),
-                "url_b": pa.nulls(n, type=pa.string()),
-                "hamming": pa.nulls(n, type=pa.int64()),
-                "member": batch["url"],
-            },
-            schema=join_schema,
-        )
-
-    def expand_side(side: str):
-        """Replace the ``side`` endpoint of each edge with every member
-        of its class (classes absent from ``members`` are singletons —
-        the rep itself stands)."""
-
-        def fn(g: pa.Table) -> pa.Table:
-            is_mem = pc.is_valid(g["member"])
-            mem = g.filter(is_mem)
-            ed = g.filter(pc.invert(is_mem))
-            if ed.num_rows == 0:
-                return out_schema.empty_table()
-            groups: dict[str, list[str]] = {}
-            for r, u in zip(mem["join_key"].to_pylist(), mem["member"].to_pylist()):
-                groups.setdefault(r, []).append(u)
-            ua, ub, hh = [], [], []
-            for a, b, h, k in zip(
-                ed["url_a"].to_pylist(),
-                ed["url_b"].to_pylist(),
-                ed["hamming"].to_pylist(),
-                ed["join_key"].to_pylist(),
-            ):
-                for u in groups.get(k, [k]):
-                    if side == "url_a":
-                        ua.append(u); ub.append(b)
-                    else:
-                        ua.append(a); ub.append(u)
-                    hh.append(h)
-            return pa.table(
-                {
-                    "url_a": pa.array(ua, type=pa.string()),
-                    "url_b": pa.array(ub, type=pa.string()),
-                    "hamming": pa.array(hh, type=pa.int64()),
-                },
-                schema=out_schema,
-            )
-
-        return fn
-
-    e = edges.select_columns(["url_a", "url_b", "hamming"])
-    u1 = e.map_batches(tag_edges("url_a"), batch_format="pyarrow").union(
-        members.map_batches(tag_members, batch_format="pyarrow")
-    )
-    pass_a = bucketed_group_apply(
-        u1, "join_key", expand_side("url_a"), num_buckets=cfg.num_buckets
-    )
-    u2 = pass_a.map_batches(tag_edges("url_b"), batch_format="pyarrow").union(
-        members.map_batches(tag_members, batch_format="pyarrow")
-    )
-    cross = bucketed_group_apply(
-        u2, "join_key", expand_side("url_b"), num_buckets=cfg.num_buckets
-    )
-
-    def orient(batch: pa.Table) -> pa.Table:
-        a = batch["url_a"].to_numpy(zero_copy_only=False)
-        b = batch["url_b"].to_numpy(zero_copy_only=False)
-        swap = a > b
-        return pa.table(
-            {
-                "url_a": pa.array(np.where(swap, b, a), type=pa.string()),
-                "url_b": pa.array(np.where(swap, a, b), type=pa.string()),
-                "hamming": batch["hamming"],
-            },
-            schema=out_schema,
-        )
-
-    return intra.union(cross.map_batches(orient, batch_format="pyarrow"))
-
-
 def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
     """pages -> verified SimHash edges (url_a, url_b, hamming, kind).
 
@@ -417,7 +211,11 @@ def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
             .select_columns(["url", "simhash", "eq_key"])
             .materialize()
         )
-        reps, members = _split_rep_groups(signed, cfg.num_buckets)
+        from doppel_ray.stages.prune import split_rep_groups
+
+        reps, members = split_rep_groups(
+            signed, cfg.num_buckets, carry_col="simhash"
+        )
     else:
         reps = (
             add_simhash(ds.select_columns(["url", "text"]), cfg)
@@ -441,7 +239,12 @@ def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
     # (57-177s at 200k docs; segmented: stable ~40s)
     edges = _dedupe_pairs(pairs, cfg.num_buckets).materialize()
     if members is not None:
-        edges = _expand_edges(edges, members, cfg)
+        from doppel_ray.stages.prune import expand_edges
+
+        edges = expand_edges(
+            edges, members, cfg.num_buckets,
+            value_col="hamming", value_type=pa.int64(), identity_value=0,
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
