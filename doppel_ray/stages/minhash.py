@@ -992,7 +992,15 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
         pairs = pairs.materialize()
         scale = pairs.count() > cfg.driver_verify_limit
     if scale:
-        edges = _distributed_verify(ds, pairs.drop_columns(["dropped"]), cfg)
+        # segment at stage boundaries: the fully fused DAG (sign -> band
+        # sort -> two join sorts -> expansion) interleaves its all-to-all
+        # operators under the streaming executor with pathological
+        # results (measured 257s fused vs 72s segmented at 800k docs,
+        # 32 CPUs); pair and edge streams are tiny next to the corpus
+        pairs = pairs.materialize()
+        edges = _distributed_verify(
+            ds, pairs.drop_columns(["dropped"]), cfg
+        ).materialize()
         edges = _reattach_classes(edges, members, cfg)
         if cfg.is_pair_complete:
             edges = _expand_cliques(edges)
@@ -1098,16 +1106,100 @@ def _reattach_classes(
     """Restore the full pair relation after exact-class pruning:
     intra-class cliques at similarity 1.0 plus rep-edge cross products
     (identical texts ⇒ identical shingle sets ⇒ the rep's verified
-    similarity is every member's). No-op when nothing was pruned."""
+    similarity is every member's). No-op when nothing was pruned.
+
+    The membership map is broadcast (``ray.put`` once, read per task)
+    and expansion is a pure generator map over the edge stream — no
+    shuffles. This adds NO new scale bound: the prune stage already
+    broadcasts the same duplicated-member set for its anti semi-join,
+    and both are bounded by duplicated docs (exact.py:20-23 bound)."""
     if members is None:
         return edges
-    from doppel_ray.stages.prune import expand_edges
-
-    return expand_edges(
-        edges,
-        members,
-        cfg.num_buckets,
-        value_col="similarity",
-        value_type=pa.float64(),
-        identity_value=1.0,
+    mem_t = collect_table(members, MEMBERS_FILTER_SCHEMA)
+    groups: dict[str, list[str]] = {}
+    for r, u in zip(mem_t["rep"].to_pylist(), mem_t["url"].to_pylist()):
+        groups.setdefault(r, []).append(u)
+    ref = ray.put(groups)
+    out_schema = pa.schema(
+        [
+            ("url_a", pa.string()),
+            ("url_b", pa.string()),
+            ("similarity", pa.float64()),
+        ]
     )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        g = ray.get(ref)
+        ua: list[str] = []
+        ub: list[str] = []
+        sims: list[float] = []
+        for a, b, s in zip(
+            batch["url_a"].to_pylist(),
+            batch["url_b"].to_pylist(),
+            batch["similarity"].to_pylist(),
+        ):
+            for x in g.get(a, (a,)):
+                for y in g.get(b, (b,)):
+                    if x < y:
+                        ua.append(x); ub.append(y)
+                    else:
+                        ua.append(y); ub.append(x)
+                    sims.append(s)
+        return pa.table(
+            {
+                "url_a": pa.array(ua, type=pa.string()),
+                "url_b": pa.array(ub, type=pa.string()),
+                "similarity": pa.array(sims, type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    cross = edges.select_columns(["url_a", "url_b", "similarity"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+    # intra-class cliques (similarity 1.0 — always >= threshold): emit
+    # from the class list distributed, chunked like _expand_cliques
+    classes = [sorted(v) for v in groups.values() if len(v) >= 2]
+    if not classes:
+        return cross
+    comp_t = pa.table({"members": pa.array(classes, type=pa.list_(pa.string()))})
+
+    def cliques(batch: pa.Table):
+        chunk = 1 << 16
+        ua: list[np.ndarray] = []
+        ub: list[np.ndarray] = []
+        size = 0
+        for lst in batch["members"].to_pylist():
+            arr = np.asarray(lst)
+            m = len(arr)
+            for i in range(m - 1):
+                ua.append(np.full(m - i - 1, arr[i]))
+                ub.append(arr[i + 1 :])
+                size += m - i - 1
+                if size >= chunk:
+                    a = np.concatenate(ua); b = np.concatenate(ub)
+                    ua, ub, size = [], [], 0
+                    yield pa.table(
+                        {
+                            "url_a": pa.array(a, type=pa.string()),
+                            "url_b": pa.array(b, type=pa.string()),
+                            "similarity": pa.array(np.ones(len(a))),
+                        },
+                        schema=out_schema,
+                    )
+        if size:
+            a = np.concatenate(ua); b = np.concatenate(ub)
+            yield pa.table(
+                {
+                    "url_a": pa.array(a, type=pa.string()),
+                    "url_b": pa.array(b, type=pa.string()),
+                    "similarity": pa.array(np.ones(len(a))),
+                },
+                schema=out_schema,
+            )
+
+    intra = ray.data.from_arrow(comp_t).map_batches(
+        cliques, batch_format="pyarrow", batch_size=64
+    )
+    return cross.union(intra)
