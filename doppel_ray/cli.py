@@ -102,18 +102,41 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+# Top-level flags that consume the following token as their value.  The
+# router must know these so ``--config cfg.toml find corpus/`` does not
+# mistake ``cfg.toml`` for the first positional (the reference's
+# urfave/cli DefaultCommand is flag-grammar-aware, main.go:99).
+_VALUE_FLAGS = {"--config"}
+
+
 def _route_default_command(argv: list[str]) -> list[str]:
     """Bare invocation routes to ``find`` (reference DefaultCommand,
     main.go:99): the first positional token not naming a subcommand
-    gets ``find`` prepended; pure-flag invocations pass through."""
-    for tok in argv:
+    gets ``find`` prepended; pure-flag invocations pass through.
+    Value-taking top-level flags (``--config FILE`` / ``--config=FILE``)
+    are skipped together with their argument."""
+    i = 0
+    # consume leading top-level flags — they must stay before the
+    # inserted subcommand for argparse to accept them
+    while i < len(argv):
+        tok = argv[i]
+        if tok in ("-h", "--help", "--version"):
+            return argv
+        if tok in _VALUE_FLAGS:
+            i += 2  # skip the flag and its value
+        elif any(tok.startswith(f + "=") for f in _VALUE_FLAGS):
+            i += 1
+        else:
+            break
+    for j in range(i, len(argv)):
+        tok = argv[j]
         if tok in ("-h", "--help", "--version"):
             return argv
         if tok.startswith("-"):
-            continue
+            continue  # subcommand flag (e.g. --near) — belongs after find
         if tok in _COMMANDS:
             return argv
-        return ["find", *argv]
+        return [*argv[:i], "find", *argv[i:]]
     return argv
 
 

@@ -72,6 +72,33 @@ class TestCliShell:
         assert cli._route_default_command(["--help"]) == ["--help"]
         assert cli._route_default_command([]) == []
 
+    def test_config_flag_routing(self, tmp_path):
+        """``--config FILE`` is a value-taking top-level flag: its value
+        must not be mistaken for the first positional, and the inserted
+        ``find`` must land after the flag pair (ADVICE r2 high)."""
+        assert cli._route_default_command(
+            ["--config", "cfg.toml", "find", "/data"]
+        ) == ["--config", "cfg.toml", "find", "/data"]
+        assert cli._route_default_command(["--config", "cfg.toml", "/data"]) == [
+            "--config", "cfg.toml", "find", "/data"
+        ]
+        assert cli._route_default_command(["--config=cfg.toml", "/data"]) == [
+            "--config=cfg.toml", "find", "/data"
+        ]
+        # both shapes must survive argparse end-to-end
+        cfgf = tmp_path / "cfg.toml"
+        cfgf.write_text("[find]\nworkers = 3\n")
+        for argv in (
+            ["--config", str(cfgf), "find", "/data"],
+            ["--config", str(cfgf), "/data"],
+        ):
+            args = cli.build_parser().parse_args(
+                cli._route_default_command(argv)
+            )
+            assert args.command == "find"
+            assert args.config == str(cfgf)
+            assert args.paths == ["/data"]
+
     def test_version_flag(self, capsys):
         import pytest
 
