@@ -74,15 +74,33 @@ def _init_ray():
     ctx.use_push_based_shuffle = True
 
 
-def _query_specs() -> dict:
+def _query_specs(limit: int | None = None) -> dict:
     """name -> zero-arg callable returning a row count. Lazy imports so
-    the module stays importable without Ray initialised."""
+    the module stays importable without Ray initialised.
+
+    ``limit`` truncates every input to its first N rows: ``run_one``
+    uses it for an untimed warmup pass that walks the SAME stage graph
+    (sign -> band shuffle -> joins -> cluster) as the timed run, so the
+    measurement captures marginal pipeline cost, not per-session fixed
+    costs (worker-process spawn, per-worker imports, shuffle-pool and
+    object-store first-touch). At the target deployment those fixed
+    costs amortize over hours of streaming; in this sandbox they are
+    25-30s of a 44s query (measured: near_pages 54s cold vs 23s warm in
+    one session) and swamp what the bench is trying to compare."""
     from doppel_ray.sources.parquet import read_documents, read_pages
     from doppel_ray.stages import cluster as cluster_mod
     from doppel_ray.stages import exact, minhash
 
     bench_dir = BENCH_DIR
     mh_cfg = minhash.MinHashConfig(scale_mode=True if SCALE_MODE else None)
+
+    def read_pages(path, _rp=read_pages):  # noqa: A001 - shadow on purpose
+        ds = _rp(path)
+        return ds.limit(limit) if limit else ds
+
+    def read_documents(path, _rd=read_documents, **kw):
+        ds = _rd(path, **kw)
+        return ds.limit(limit) if limit else ds
 
     def _docs_as_pages():
         import pyarrow as pa
@@ -152,11 +170,16 @@ def run_one(name: str) -> dict:
     from doppel_ray.sources.parquet import read_documents, read_pages
 
     ensure_bench_corpus()
-    # warm OS page cache AND spawn the map-worker pool (untimed) so we
-    # measure compute+shuffle, not first-touch disk reads or startup
+    # warm OS page cache (untimed full-corpus reads) ...
     n_pages = read_pages(BENCH_DIR).count()
     read_documents(SF_DIR).count()
-    read_pages(BENCH_DIR).map_batches(lambda b: b, batch_format="pyarrow").count()
+    # ... then walk the query's own stage graph on a small input slice:
+    # spawns the map-worker pool AND the sort/shuffle/reduce machinery,
+    # triggers per-worker imports and first-touch allocations — the
+    # per-session fixed costs the bench must not charge to the pipeline
+    # (VERDICT r2 #5; see _query_specs docstring for the measurements)
+    warm_docs = int(os.environ.get("BENCH_WARM_DOCS", "8000"))
+    _query_specs(limit=warm_docs)[name]()
 
     fn = _query_specs()[name]
     t0 = time.monotonic()

@@ -36,20 +36,72 @@ from doppel_ray.schema import GROUPS_SCHEMA
 from doppel_ray.stages import hashes
 
 
+#: partial-count rows (distinct keys after in-block combining) below
+#: which the cross-block merge runs on the driver instead of paying a
+#: groupby shuffle. At 8 B/key this is ~160 MB of driver ints — far
+#: under the broadcast bound the stage already carries for the dup-key
+#: set itself. Above it, the scale-correct narrow groupby-sum shuffle
+#: runs (its ~5 s fixed sort-coordination cost — measured at 200 k rows
+#: /32 CPUs vs 1.1 s for the driver merge — amortizes at real scale).
+DRIVER_AGG_LIMIT = 20_000_000
+
+
 def duplicated_key_values(ds: Dataset, key: str) -> pa.Array:
     """Distinct values of ``key`` appearing on >=2 rows (HAVING count>1).
 
-    Shuffles only the projected key column; the result is small and is
-    collected to the driver for broadcast.
+    Combiner-first (the classic partial-aggregation push-down): each
+    block collapses to (key, in-block count) via ``np.unique`` — dups
+    concentrated inside blocks never leave them. The cross-block merge
+    then auto-selects: below ``DRIVER_AGG_LIMIT`` partial rows the
+    driver sums the partials vectorized (one ``np.add.at``); above it a
+    groupby-sum shuffle over the (narrow) partial stream does. Either
+    way only the projected key column moves, and the result is small
+    and collected for broadcast.
     """
-    counts = (
-        ds.select_columns([key])
-        .groupby(key)
-        .aggregate(Count(alias_name="cnt"))
-    )
-    dup = counts.filter(expr="cnt > 1")
+    import numpy as np
+
     from doppel_ray.stages.util import collect_table
 
+    sch = ds.schema()  # ray.data.Schema: parallel .names / .types lists
+    int_key = pa.types.is_integer(sch.types[sch.names.index(key)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if int_key:
+            u, c = np.unique(
+                batch[key].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            ukeys = pa.array(u)
+        else:
+            vc = batch[key].value_counts()
+            ukeys, c = vc.field("values"), vc.field("counts")
+        return pa.table({key: ukeys, "cnt": pa.array(c)})
+
+    partials = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    if partials.count() <= DRIVER_AGG_LIMIT:
+        t = collect_table(partials)
+        if t.num_rows == 0:
+            return pa.array([])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        if int_key:
+            u, idx = np.unique(
+                t[key].to_numpy(zero_copy_only=False), return_inverse=True
+            )
+            tot = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tot, idx, cnt)
+            return pa.array(u[tot > 1])
+        keys = t[key].combine_chunks()
+        u, idx = np.unique(keys, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, idx, cnt)
+        return pa.array(u[tot > 1], type=keys.type)
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+    dup = counts.filter(expr="cnt > 1")
     t = collect_table(dup.select_columns([key]))
     if t.num_rows == 0:
         return pa.array([])
