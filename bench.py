@@ -96,11 +96,21 @@ def _query_specs(limit: int | None = None) -> dict:
 
     def read_pages(path, _rp=read_pages):  # noqa: A001 - shadow on purpose
         ds = _rp(path)
-        return ds.limit(limit) if limit else ds
+        if limit:
+            # spread the warmup slice over >= one block per CPU: the
+            # kernels' first large allocations stall multi-second in
+            # this VM (first-touch page faults, per worker PROCESS), so
+            # every worker must run at least one task of each stage
+            # before the timed run — a narrow limit() collapses to 1-2
+            # blocks and warms only those workers
+            ds = ds.limit(limit).repartition(2 * NUM_CPUS)
+        return ds
 
     def read_documents(path, _rd=read_documents, **kw):
         ds = _rd(path, **kw)
-        return ds.limit(limit) if limit else ds
+        if limit:
+            ds = ds.limit(limit).repartition(2 * NUM_CPUS)
+        return ds
 
     def _docs_as_pages():
         import pyarrow as pa

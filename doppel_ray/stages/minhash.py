@@ -114,6 +114,14 @@ class MinHashConfig:
     # distributed label-propagation + per-component clique emission
     # (ADVICE r2 medium / VERDICT r2 #8)
     clique_driver_edge_limit: int = 2_000_000
+    # signature row count (docs x bands, narrow url+int64 rows) below
+    # which pair emission runs on the driver: one vectorized
+    # _emit_pairs_bucket call over the collected rows instead of a
+    # band-count shuffle + band sort. 30M rows ~= 600k docs at the
+    # default 32 bands ~= under a GB on the driver — comfortably inside
+    # the regime where the driver also collects the pair stream;
+    # scale_mode=True never takes this branch.
+    sig_rows_collect_limit: int = 30_000_000
     # candidate-doc count below which the verify lookup is broadcast via
     # ray.put and the pair loop runs distributed (fastest when small)
     broadcast_limit: int = 20000
@@ -238,8 +246,11 @@ class MinHashSigner:
 
 def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
     """All (or ring-capped) within-band pairs for every band group in the
-    bucket; pandas groups at C speed, Python loops only over bands with
-    >=2 distinct members.
+    bucket, fully vectorized: one lexsort groups the rows, run-length
+    encoding finds the groups, and pair emission gathers per group-SIZE
+    class with ``np.triu_indices`` — no Python iteration over the (often
+    hundreds of thousands of) band groups. Only hot bands (> cap, rare
+    by construction) take a per-group loop, for the ring.
 
     When an ``eq_key`` column is present (pair-complete mode) the capped
     ring is ordered by (eq_key, url): members of one equivalence class
@@ -253,49 +264,83 @@ def _emit_pairs_bucket(g: pa.Table, cap: int) -> pa.Table:
     df = df.drop_duplicates(
         subset=["band_key", "url"]
     )  # a url can repeat an identical (url, band_key)
-    dup = df[df.duplicated("band_key", keep=False)]
-    if dup.empty:
+    sort_cols = ["band_key", "eq_key", "url"] if has_eq else ["band_key", "url"]
+    df = df.sort_values(sort_cols, kind="stable", ignore_index=True)
+    band = df["band_key"].to_numpy()
+    urls = df["url"].to_numpy()
+    n = len(band)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(band[1:], band[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, n))
+    group_of_row = np.repeat(np.arange(len(starts)), sizes)
+    row_size = sizes[group_of_row]
+    ua_parts: list[np.ndarray] = []
+    ub_parts: list[np.ndarray] = []
+    dr_parts: list[np.ndarray] = []
+    small_groups = (sizes >= 2) & (sizes <= cap)
+    if small_groups.any():
+        su = urls[small_groups[group_of_row]]
+        ssz = row_size[small_groups[group_of_row]]
+        for m in np.unique(ssz):
+            mat = su[ssz == m].reshape(-1, int(m))
+            ii, jj = np.triu_indices(int(m), 1)
+            a = mat[:, ii].ravel()
+            b = mat[:, jj].ravel()
+            ua_parts.append(a)
+            ub_parts.append(b)
+            dr_parts.append(np.zeros(len(a), dtype=np.int64))
+    for gi in np.flatnonzero(sizes > cap):
+        # hot band: ring of consecutive pairs keeps the component
+        # connected; report pruned pair count (no silent truncation) on
+        # the ring's first pair
+        s, m = int(starts[gi]), int(sizes[gi])
+        mem = urls[s : s + m]
+        d = np.zeros(m - 1, dtype=np.int64)
+        d[0] = m * (m - 1) // 2 - (m - 1)
+        ua_parts.append(mem[:-1])
+        ub_parts.append(mem[1:])
+        dr_parts.append(d)
+    if not ua_parts:
         return PAIRS_SCHEMA.empty_table()
-    ua: list[str] = []
-    ub: list[str] = []
-    dropped: list[int] = []
-    for _, grp in dup.groupby("band_key", sort=False):
-        if has_eq:
-            urls = [u for _, u in sorted(zip(grp["eq_key"], grp["url"]))]
-        else:
-            urls = sorted(set(grp["url"].tolist()))
-        m = len(urls)
-        if m < 2:
-            continue
-        if m <= cap:
-            for i in range(m):
-                for j in range(i + 1, m):
-                    x, y = urls[i], urls[j]
-                    if x > y:
-                        x, y = y, x
-                    ua.append(x)
-                    ub.append(y)
-                    dropped.append(0)
-        else:
-            # hot band: ring of consecutive pairs keeps the component
-            # connected; report pruned pair count (no silent truncation)
-            total = m * (m - 1) // 2
-            for i in range(m - 1):
-                x, y = urls[i], urls[i + 1]
-                if x > y:
-                    x, y = y, x
-                ua.append(x)
-                ub.append(y)
-                dropped.append(0)
-            dropped[-(m - 1)] = total - (m - 1)
+    a = np.concatenate(ua_parts)
+    b = np.concatenate(ub_parts)
+    d = np.concatenate(dr_parts)
+    swap = a > b
+    out = pd.DataFrame(
+        {
+            "url_a": np.where(swap, b, a),
+            "url_b": np.where(swap, a, b),
+            "dropped": d,
+        }
+    )
     # same pair from several bands in this bucket: dedupe HERE so the
     # downstream (driver or shuffle) dedupe sees ~pairs, not pairs x bands
     # (measured 3.3M -> ~0.15M rows on the 200k-doc bench)
-    out = pd.DataFrame({"url_a": ua, "url_b": ub, "dropped": dropped})
     out = out.groupby(["url_a", "url_b"], sort=False, as_index=False)[
         "dropped"
     ].sum()
     return pa.Table.from_pandas(out, preserve_index=False).cast(PAIRS_SCHEMA)
+
+
+def _emit_pairs_driver(t: pa.Table, cap: int) -> pa.Table:
+    """Driver-regime pair emission: prefilter the collected signature
+    rows to DUPLICATED band keys with one ``np.unique`` over the int64
+    key column before any pandas/string work touches them. Singleton
+    bands are the overwhelming majority of sig rows (measured 4.48M
+    rows -> ~60k duplicated-band rows at 200k docs), and the pandas
+    drop_duplicates + string-tiebreak sort in ``_emit_pairs_bucket``
+    were 6.4s of driver time spent almost entirely on rows that can
+    never emit a pair."""
+    if t.num_rows < 2:
+        return PAIRS_SCHEMA.empty_table()
+    band = t["band_key"].to_numpy(zero_copy_only=False)
+    u, inv, cnt = np.unique(band, return_inverse=True, return_counts=True)
+    dup_mask = cnt[inv] > 1
+    if not dup_mask.any():
+        return PAIRS_SCHEMA.empty_table()
+    return _emit_pairs_bucket(t.filter(pa.array(dup_mask)), cap)
 
 
 def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
@@ -330,18 +375,41 @@ def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
     )
     cap = cfg.band_cap
     if with_eq or not cfg.salt_hot_bands:
-        # materialize_input: the signing map fused into Ray's sort
-        # operator runs at shuffle task granularity — measured 32-40s
-        # fused vs 20.5s (stable) with the sig rows cut out of the sort
-        # at 200k docs. Persisting signature rows before the band
-        # shuffle is the standard LSH trade; the object store spills
-        # them at scale.
+        # Persist signature rows before anything touches them (the
+        # signing map fused into Ray's sort operator runs at shuffle
+        # task granularity — measured 32-40s fused vs 20.5s with the
+        # sig rows cut out of the sort at 200k docs).
+        sig = sig.materialize()
+        if (
+            cfg.scale_mode is not True
+            and sig.count() <= cfg.sig_rows_collect_limit
+        ):
+            # driver regime: collect the narrow (url, band_key[, eq_key])
+            # rows and emit pairs in one vectorized pass — skips BOTH
+            # the band-count shuffle and the band sort (measured ~10s of
+            # fixed sort-coordination at 200k docs/32 CPUs). Bound
+            # documented on sig_rows_collect_limit.
+            t = collect_table(sig)
+            return ray.data.from_arrow(_emit_pairs_driver(t, cap))
+        # scale path: PREFILTER to duplicated band keys before the
+        # all-to-all — only bands with >=2 members can emit a pair, and
+        # at web scale singleton bands are the overwhelming majority of
+        # sig rows. The dup-key set comes from the combiner-first count
+        # in ``exact.duplicated_key_values`` (per-block np.unique
+        # partials, narrow groupby-sum merge) and is broadcast for a
+        # semi-join — the standard semi-join push-down, identical
+        # output.
+        from doppel_ray.stages.exact import duplicated_key_values
+
+        dup_keys = duplicated_key_values(sig, "band_key")
+        if len(dup_keys) == 0:
+            return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+        band_rows = semi_filter(sig, "band_key", dup_keys)
         return bucketed_group_apply(
-            sig,
+            band_rows,
             "band_key",
             lambda g: _emit_pairs_bucket(g, cap),
             num_buckets=cfg.num_buckets,
-            materialize_input=True,
         )
 
     from ray.data.aggregate import Count
@@ -911,6 +979,57 @@ def _prune_exact_classes(
     keyed = ds.map_batches(
         eq_rows, batch_format="pyarrow", batch_size=cfg.batch_size
     ).materialize()
+
+    from doppel_ray.stages.exact import DRIVER_AGG_LIMIT
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch["eq_key"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"eq_key": pa.array(u), "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    partials = keyed.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if partials.count() <= DRIVER_AGG_LIMIT:
+        # fast path: merge the per-block partial counts on the driver —
+        # gives the EXACT dup fraction for the gate plus the dup-key
+        # set, and resolves reps without the class sort. Members are
+        # bounded by duplicated docs (the documented broadcast bound —
+        # the sort path collects the same table below).
+        pt = collect_table(partials)
+        cnt = pt["cnt"].to_numpy(zero_copy_only=False)
+        u, idx = np.unique(
+            pt["eq_key"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, idx, cnt)
+        total = int(cnt.sum())
+        if total == 0 or 1.0 - len(u) / total < cfg.prune_min_dup_fraction:
+            return ds, None
+        dup_keys = pa.array(u[tot > 1])
+        mem_t = collect_table(semi_filter(keyed, "eq_key", dup_keys))
+        df = mem_t.to_pandas()
+        df["rep"] = df.groupby("eq_key", sort=False)["url"].transform("min")
+        members_t = pa.table(
+            {
+                "rep": pa.array(df["rep"], type=pa.string()),
+                "url": pa.array(df["url"], type=pa.string()),
+            },
+            schema=MEMBERS_FILTER_SCHEMA,
+        )
+        non_rep = pa.array(
+            df.loc[df["rep"] != df["url"], "url"], type=pa.string()
+        )
+        if len(non_rep) == 0:
+            return ds, None
+        pruned = semi_filter(ds, "url", non_rep, invert=True)
+        return pruned, ray.data.from_arrow(members_t)
+
+    # scale fallback: KMV-estimated gate (no driver count merge), then
+    # the distributed class-resolve sort
     if _dup_fraction_estimate(keyed) < cfg.prune_min_dup_fraction:
         return ds, None
     _, members = split_rep_groups(keyed, cfg.num_buckets)
