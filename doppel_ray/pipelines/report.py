@@ -59,16 +59,33 @@ def report_from_groups(
     skipped_files: int = 0,
     duration_s: float = 0.0,
     scan_date: str = "",
+    total_wasted_space: int | None = None,
+    duplicate_groups: int | None = None,
+    duplicate_files: int | None = None,
 ) -> DuplicateReport:
-    """Assemble the report from duplicate-group rows (finder.go:114-145)."""
+    """Assemble the report from duplicate-group rows (finder.go:114-145).
+
+    The three aggregate overrides let a streaming caller report totals
+    over ALL groups while ``groups`` holds only a top-N cap (VERDICT r2
+    #6); when omitted they are derived from the list as before."""
     groups = sorted(groups, key=lambda g: g["group_id"])
-    total_wasted = sum(int(g["wasted_space"]) for g in groups)
+    total_wasted = (
+        sum(int(g["wasted_space"]) for g in groups)
+        if total_wasted_space is None
+        else total_wasted_space
+    )
     stats = Stats(
         total_files=total_files,
         processed_files=processed_files,
         skipped_files=skipped_files,
-        duplicate_groups=len(groups),
-        duplicate_files=sum(int(g["count"]) for g in groups),
+        duplicate_groups=(
+            len(groups) if duplicate_groups is None else duplicate_groups
+        ),
+        duplicate_files=(
+            sum(int(g["count"]) for g in groups)
+            if duplicate_files is None
+            else duplicate_files
+        ),
         duration_s=duration_s,
     )
     return DuplicateReport(

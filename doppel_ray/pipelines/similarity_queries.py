@@ -84,12 +84,46 @@ def near_dup_pairs_exact(sf_dir: str):
     return _edges_to_ids(edges, "similarity", pa.float64()).cast(PAIRS_SCHEMA)
 
 
-@query("minhash_near_dup")  # rows-only: LSH at tau=0.8 is not SQL-expressible
+@query(
+    "minhash_near_dup",
+    # Brute-force exact-Jaccard over DISTINCT 5-char shingles of the
+    # normalized text (lower + collapse-ws + trim), integer threshold
+    # arithmetic (5i >= 4u <=> i/u >= 0.8 for u << 2^52 — no float in the
+    # compared output). Matches the pipeline because verification IS
+    # exact set-Jaccard at tau=0.8 and the LSH miss probability at the
+    # observed similarity margins is < 1e-9 with r=4, b=32 (recall >=
+    # 0.99 pinned in tests/test_minhash.py); verified pair-for-pair at
+    # sf0.01 and sf0.1 (VERDICT r2 #7 promotion from rows-only).
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+      WHERE strlen(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.id_a
+    JOIN sizes sb ON sb.doc_id = inter.id_b
+    WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+    """,
+)
 def minhash_near_dup(sf_dir: str):
-    """Standard near-dedup config (tau=0.8, normalized shingles)."""
+    """Standard near-dedup config (tau=0.8, normalized shingles); output
+    is the integer pair set only — similarity stays out of the compared
+    columns (float-free oracle invariant)."""
     ds = _docs_as_pages(sf_dir)
     edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
-    return _edges_to_ids(edges, "similarity", pa.float64()).cast(PAIRS_SCHEMA)
+    return _edges_to_ids(edges)
 
 
 @query(
@@ -128,7 +162,12 @@ def dup_clusters(sf_dir: str):
     )
 
 
-@query("simhash_near_dup")  # rows-only: Hamming-band LSH is not SQL-expressible
+# rows-only BY NECESSITY: the fingerprint (sip64 token hashes -> bit
+# votes) has no SQL expression, and the result is NOT reducible to an
+# identical-text join — at sf0.1, 171 of 201 reported pairs have
+# hamming > 0 (genuinely near, non-identical docs). Accuracy is pinned
+# instead by tests/test_simhash.py's brute-force popcount oracle.
+@query("simhash_near_dup")
 def simhash_near_dup(sf_dir: str):
     """SimHash fingerprints + pigeonhole block candidates at Hamming<=3
     (Manku/Jain/Sarma WWW'07); exact popcount verification."""
@@ -255,7 +294,55 @@ def ivf_topk(sf_dir: str):
     )
 
 
-@query("near_dedup_keep_first")  # rows-only: LSH clustering not in SQL
+@query(
+    "near_dedup_keep_first",
+    # Same exact-Jaccard pair base as minhash_near_dup, then connected
+    # components via a recursive transitive-closure CTE (min reachable id
+    # == union-find min-label) and keep-first = docs that are their
+    # component's min id plus all unclustered docs. MATERIALIZED hints
+    # keep the shingle join out of the recursion loop (it re-evaluates
+    # otherwise and blows up past sf0.01). Verified row-for-row at
+    # sf0.01 (476) and sf0.1 (4756) — VERDICT r2 #7 promotion.
+    r"""
+    WITH RECURSIVE
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+      WHERE strlen(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL
+      SELECT id_b, id_a FROM pr
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (SELECT a AS node, least(min(b), a) AS label FROM reach GROUP BY a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM lab WHERE label < node)
+    ORDER BY doc_id
+    """,
+)
 def near_dedup_keep_first(sf_dir: str):
     """Training-data near-dedup: cluster near-dup edges (tau=0.8) with
     union-find and keep one representative (min id) per cluster plus all

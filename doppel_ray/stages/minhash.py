@@ -739,122 +739,22 @@ def _routed_verify(
 
 
 def _distributed_verify(ds: Dataset, pairs: Dataset, cfg: MinHashConfig) -> Dataset:
-    """Fully-distributed verification: classic two-pass bucketed hash
-    join. Pass 1 co-locates each pair with text_a (bucket on url_a ==
-    texts' url); pass 2 the same for text_b; a final stateless
-    ``map_batches`` recomputes both shingle sets with the vectorized
-    kernel and keeps pairs >= tau. No driver-side data structure of any
-    size — the configuration for true multi-node scale, where even the
-    deduped pair list exceeds driver memory."""
-    texts = ds.select_columns(["url", "text"])
+    """Fully-distributed verification: the shared two-pass bucketed text
+    join (stages/textjoin.py, factored out of this module in r3) co-locates
+    each pair with both texts; a final stateless ``map_batches`` recomputes
+    both shingle sets with the vectorized kernel and keeps pairs >= tau.
+    No driver-side data structure of any size — the configuration for true
+    multi-node scale, where even the deduped pair list exceeds driver
+    memory. Pair repeats from overlapping bands are deduped inside the
+    join's first pass (all copies share url_a)."""
+    from doppel_ray.stages.textjoin import pair_text_join
 
-    def tag_pairs(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "join_key": batch["url_a"],
-                "url_a": batch["url_a"],
-                "url_b": batch["url_b"],
-                "text_a": pa.nulls(n, type=pa.large_string()),
-            }
-        )
-
-    def tag_texts(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "join_key": batch["url"],
-                "url_a": pa.nulls(n, type=pa.string()),
-                "url_b": pa.nulls(n, type=pa.string()),
-                "text_a": pc.cast(batch["text"], pa.large_string()),
-            }
-        )
-
-    def join_a(g: pa.Table) -> pa.Table:
-        is_text = pc.is_valid(g["text_a"])
-        tx = g.filter(is_text)
-        pr = g.filter(pc.invert(is_text))
-        if pr.num_rows == 0:
-            return pa.table(
-                {
-                    "join_key": pa.array([], type=pa.string()),
-                    "url_a": pa.array([], type=pa.string()),
-                    "url_b": pa.array([], type=pa.string()),
-                    "text_a": pa.array([], type=pa.large_string()),
-                }
-            )
-        # all copies of a pair share url_a => they are all in this bucket:
-        # dedupe here instead of a dedicated dedupe shuffle
-        pdf = pr.select(["url_a", "url_b"]).to_pandas().drop_duplicates()
-        lookup = dict(zip(tx["join_key"].to_pylist(), tx["text_a"].to_pylist()))
-        ta = [lookup.get(u) for u in pdf["url_a"]]
-        return pa.table(
-            {
-                "join_key": pa.array(pdf["url_b"], type=pa.string()),  # pass-2 key
-                "url_a": pa.array(pdf["url_a"], type=pa.string()),
-                "url_b": pa.array(pdf["url_b"], type=pa.string()),
-                "text_a": pa.array(ta, type=pa.large_string()),
-            }
-        )
-
-    u1 = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        texts.map_batches(tag_texts, batch_format="pyarrow")
-    )
-    joined_a = bucketed_group_apply(
-        u1, "join_key", join_a, num_buckets=cfg.num_buckets
-    )
-
-    def tag_joined(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return batch.append_column(
-            "text_b", pa.nulls(n, type=pa.large_string())
-        )
-
-    def tag_texts_b(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "join_key": batch["url"],
-                "url_a": pa.nulls(n, type=pa.string()),
-                "url_b": pa.nulls(n, type=pa.string()),
-                "text_a": pa.nulls(n, type=pa.large_string()),
-                "text_b": pc.cast(batch["text"], pa.large_string()),
-            }
-        )
-
-    def join_b(g: pa.Table) -> pa.Table:
-        is_text = pc.is_valid(g["text_b"])
-        tx = g.filter(is_text)
-        pr = g.filter(pc.invert(is_text))
-        if pr.num_rows == 0:
-            return pa.table(
-                {
-                    "url_a": pa.array([], type=pa.string()),
-                    "url_b": pa.array([], type=pa.string()),
-                    "text_a": pa.array([], type=pa.large_string()),
-                    "text_b": pa.array([], type=pa.large_string()),
-                }
-            )
-        lookup = dict(zip(tx["join_key"].to_pylist(), tx["text_b"].to_pylist()))
-        tb = [lookup.get(u) for u in pr["url_b"].to_pylist()]
-        return pa.table(
-            {
-                "url_a": pr["url_a"],
-                "url_b": pr["url_b"],
-                "text_a": pr["text_a"],
-                "text_b": pa.array(tb, type=pa.large_string()),
-            }
-        )
-
-    u2 = joined_a.map_batches(tag_joined, batch_format="pyarrow").union(
-        texts.map_batches(tag_texts_b, batch_format="pyarrow")
-    )
-    joined = bucketed_group_apply(
-        u2, "join_key", join_b, num_buckets=cfg.num_buckets
+    joined = pair_text_join(
+        ds.select_columns(["url", "text"]), pairs, num_buckets=cfg.num_buckets
     )
 
     threshold, mode = cfg.threshold, cfg.verify_mode
-    shingle_n, normalize = cfg.shingle_n, cfg.normalize
+    shingle_n = cfg.shingle_n
 
     def verify(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(
@@ -864,8 +764,6 @@ def _distributed_verify(ds: Dataset, pairs: Dataset, cfg: MinHashConfig) -> Data
                 ("similarity", pa.float64()),
             ]
         )
-        ok = pc.and_(pc.is_valid(batch["text_a"]), pc.is_valid(batch["text_b"]))
-        batch = batch.filter(ok)
         if batch.num_rows == 0:
             return out_schema.empty_table()
         if mode == "exact":

@@ -130,32 +130,39 @@ def _explode_blocks(batch: pa.Table, bands: int) -> pa.Table:
 def _emit_pairs_bucket(g: pa.Table, cap: int, max_hamming: int) -> pa.Table:
     """Within-block pairs (ring-capped for hot blocks) with the exact
     Hamming popcount applied HERE — fingerprints travel with the rows,
-    so verification needs no join and failing pairs never shuffle."""
+    so verification needs no join and failing pairs never shuffle.
+
+    Ring-pruned pair tallies survive the Hamming filter independently of
+    which pairs pass it (ADVICE r2): each hot block's tally lands on the
+    block's first SURVIVING pair, else any surviving pair of the group,
+    else a self-pair marker row (url_a == url_b, hamming 0) that
+    ``_dedupe_pairs`` sums like any pair and ``simhash_edges`` strips
+    from the edge output — the tally is accounting, not an edge."""
     if g.num_rows < 2:
         return _PAIRS_SCHEMA.empty_table()
     df = g.to_pandas().drop_duplicates(subset=["block_key", "url"])
     dup = df[df.duplicated("block_key", keep=False)]
     if dup.empty:
         return _PAIRS_SCHEMA.empty_table()
-    ua, ub, sa, sb, dropped = [], [], [], [], []
+    ua, ub, sa, sb = [], [], [], []
+    tallies: list[tuple[int, int, int]] = []  # (start, end, pruned) per hot block
     for _, grp in dup.groupby("block_key", sort=False):
         rows = sorted(zip(grp["url"], grp["simhash"]))
         m = len(rows)
         if m < 2:
             continue
+        start = len(ua)
         if m <= cap:
             for i in range(m):
                 for j in range(i + 1, m):
                     ua.append(rows[i][0]); ub.append(rows[j][0])
                     sa.append(rows[i][1]); sb.append(rows[j][1])
-                    dropped.append(0)
         else:
             total = m * (m - 1) // 2
             for i in range(m - 1):
                 ua.append(rows[i][0]); ub.append(rows[i + 1][0])
                 sa.append(rows[i][1]); sb.append(rows[i + 1][1])
-                dropped.append(0)
-            dropped[-(m - 1)] = total - (m - 1)
+            tallies.append((start, len(ua), total - (m - 1)))
     if not ua:
         return _PAIRS_SCHEMA.empty_table()
     d = T.hamming_distance64(
@@ -163,12 +170,32 @@ def _emit_pairs_bucket(g: pa.Table, cap: int, max_hamming: int) -> pa.Table:
         np.asarray(sb, dtype=np.int64).view(np.uint64),
     )
     keep = d <= max_hamming
+    dropped = np.zeros(len(ua), dtype=np.int64)
+    kept_idx = np.nonzero(keep)[0]
+    homeless = 0
+    for start, end, pruned in tallies:
+        in_block = kept_idx[(kept_idx >= start) & (kept_idx < end)]
+        if in_block.size:
+            dropped[in_block[0]] += pruned
+        elif kept_idx.size:
+            dropped[kept_idx[0]] += pruned
+        else:
+            homeless += pruned
+    out_ua = np.asarray(ua)[keep]
+    out_ub = np.asarray(ub)[keep]
+    out_h = d[keep].astype(np.int64)
+    out_dropped = dropped[keep]
+    if homeless:
+        out_ua = np.append(out_ua, ua[0])
+        out_ub = np.append(out_ub, ua[0])  # self-pair marker row
+        out_h = np.append(out_h, 0)
+        out_dropped = np.append(out_dropped, homeless)
     return pa.table(
         {
-            "url_a": pa.array(np.asarray(ua)[keep], type=pa.string()),
-            "url_b": pa.array(np.asarray(ub)[keep], type=pa.string()),
-            "hamming": pa.array(d[keep].astype(np.int64)),
-            "dropped": pa.array(np.asarray(dropped, dtype=np.int64)[keep]),
+            "url_a": pa.array(out_ua, type=pa.string()),
+            "url_b": pa.array(out_ub, type=pa.string()),
+            "hamming": pa.array(out_h),
+            "dropped": pa.array(out_dropped),
         },
         schema=_PAIRS_SCHEMA,
     )
@@ -238,6 +265,15 @@ def simhash_edges(ds: Dataset, cfg: SimHashConfig | None = None) -> Dataset:
     # interleave four sorts + unions with high run-to-run variance
     # (57-177s at 200k docs; segmented: stable ~40s)
     edges = _dedupe_pairs(pairs, cfg.num_buckets).materialize()
+
+    def _strip_tally_rows(batch: pa.Table) -> pa.Table:
+        # self-pair marker rows carry homeless ring-prune tallies through
+        # the deduped pair stream; they are accounting, not edges
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(pc.equal(batch["url_a"], batch["url_b"])))
+
+    edges = edges.map_batches(_strip_tally_rows, batch_format="pyarrow")
     if members is not None:
         from doppel_ray.stages.prune import expand_edges
 

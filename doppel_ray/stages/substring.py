@@ -77,6 +77,9 @@ class ContainmentConfig:
     gram_cap: int = 4096        # max pairs emitted per hot gram group
     probe_cap: int = 50000      # max broadcast probes (overflow counted)
     sa_min_probes: int = 8      # build a suffix array above this count
+    broadcast_limit: int = 100_000  # max candidate pairs verified via the
+                                    # driver broadcast fast path; above it
+                                    # the two-pass bucketed text join runs
     num_buckets: int = 64
     normalize: bool = True      # containment over normalized text
     batch_size: int = 1024
@@ -272,14 +275,66 @@ def _probe_scan(ds: Dataset, probes: list, cfg: ContainmentConfig) -> Dataset:
     )
 
 
+def _verify_joined(ds: Dataset, pairs: Dataset, cfg: ContainmentConfig) -> Dataset:
+    """Fully-distributed verification: the shared two-pass bucketed text
+    join (stages/textjoin.py) co-locates each candidate pair with both
+    texts; a stateless ``map_batches`` keeps pairs where text_a occurs in
+    text_b. No driver-side pair list or text dictionary of any size —
+    the path for candidate sets past ``broadcast_limit`` (VERDICT r2 #3)."""
+    from doppel_ray.stages.textjoin import pair_text_join
+
+    joined = pair_text_join(
+        ds.select_columns(["url", "text"]), pairs, num_buckets=cfg.num_buckets
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return CONTAIN_EDGES_SCHEMA.empty_table()
+        docs_a = _doc_bytes(batch["text_a"], cfg)
+        docs_b = _doc_bytes(batch["text_b"], cfg)
+        ua, ub, sa_, sb = [], [], [], []
+        for x, y, ta, tb in zip(
+            batch["url_a"].to_pylist(), batch["url_b"].to_pylist(), docs_a, docs_b
+        ):
+            if len(ta) >= len(tb):
+                continue
+            if ta in tb:
+                ua.append(x)
+                ub.append(y)
+                sa_.append(len(ta))
+                sb.append(len(tb))
+        return pa.table(
+            {
+                "url_a": pa.array(ua, type=pa.string()),
+                "url_b": pa.array(ub, type=pa.string()),
+                "size_a": pa.array(sa_, type=pa.int64()),
+                "size_b": pa.array(sb, type=pa.int64()),
+                "kind": pa.array(["containment"] * len(ua), type=pa.string()),
+            },
+            schema=CONTAIN_EDGES_SCHEMA,
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def _verify_pairs(ds: Dataset, pairs: Dataset, cfg: ContainmentConfig) -> Dataset:
-    """Fetch candidate texts (distributed semi-join, broadcast lookup) and
-    keep pairs where text_a occurs in text_b. Scale assumption mirrors
-    minhash._routed_verify: candidate texts fit one node; swap in the
-    routed single-shuffle join beyond that."""
+    """Verify candidate pairs against the real texts: keep (a, b) where
+    text_a occurs verbatim in text_b.
+
+    Auto-gated on the MEASURED pair count (pairs are materialized — a
+    narrow url-pair table held in the object store, never the driver):
+    at or below ``broadcast_limit`` the driver fast path runs (collect
+    pairs, semi-join candidate texts, one broadcast lookup — cheapest at
+    bench scale); above it, the shared two-pass bucketed text join
+    verifies with zero driver data paths (``_verify_joined``), mirroring
+    minhash's auto scale-mode selection."""
     import pyarrow.compute as pc
 
     from doppel_ray.stages.minhash import collect_table
+
+    pairs = pairs.materialize()
+    if pairs.count() > cfg.broadcast_limit:
+        return _verify_joined(ds, pairs, cfg)
 
     t = collect_table(pairs, _PAIRS_SCHEMA)
     if t.num_rows == 0:

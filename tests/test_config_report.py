@@ -224,3 +224,37 @@ class TestNearReportMerge:
         assert g["wasted_space"] == sum(sizes) - max(sizes)
         d = R._report_dict(rep)
         assert {x["kind"] for x in d["groups"]} == {"exact", "near"}
+
+    def test_report_cap_keeps_totals_and_top_groups(self, ray_session):
+        """VERDICT r2 #6: the in-memory report streams the groups dataset
+        and caps the group list at report_cap (largest wasted_space),
+        while aggregate stats still cover every group."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from doppel_ray.pipelines.dedup import find_duplicates
+
+        # 4 exact-dup groups with distinct wasted_space (text length x 1 dup)
+        urls, texts = [], []
+        for gi, length in enumerate([10, 20, 30, 40]):
+            body = "x" * length + f" group{gi}"
+            for ci in range(2):
+                urls.append(f"g{gi}c{ci}")
+                texts.append(body)
+        t = pa.table({"url": urls, "text": texts})
+
+        full, _ = find_duplicates(rd.from_arrow(t), with_stats=False)
+        capped, _ = find_duplicates(
+            rd.from_arrow(t), with_stats=False, report_cap=2
+        )
+        assert full.stats.duplicate_groups == 4
+        assert capped.stats.duplicate_groups == 4
+        assert capped.stats.duplicate_files == full.stats.duplicate_files == 8
+        assert capped.total_wasted_space == full.total_wasted_space
+        assert len(capped.groups) == 2
+        top2 = sorted(
+            (int(g["wasted_space"]) for g in full.groups), reverse=True
+        )[:2]
+        assert sorted(
+            (int(g["wasted_space"]) for g in capped.groups), reverse=True
+        ) == top2

@@ -135,6 +135,44 @@ class TestPipeline:
         assert all(r["hamming"] == 0 for r in edges)
         assert all(r["url_a"] < r["url_b"] for r in edges)
 
+    def test_dropped_tally_survives_hamming_filter(self):
+        """ADVICE r2: a hot block's ring-prune tally must not vanish when
+        the pair that would carry it fails the Hamming filter."""
+        import numpy as np
+
+        def g(simhashes, urls):
+            n = len(urls)
+            return pa.table(
+                {
+                    "block_key": pa.array([1] * n, type=pa.int64()),
+                    "url": pa.array(urls, type=pa.string()),
+                    "simhash": pa.array(
+                        np.asarray(simhashes, dtype=np.uint64).view(np.int64)
+                    ),
+                }
+            )
+
+        # 4 rows, cap=2 -> ring pairs (u0,u1),(u1,u2),(u2,u3); tally = 6-3 = 3.
+        # u0 is far from u1 (first ring pair fails), u1..u3 identical.
+        far = (1 << 40) - 1  # popcount 40 > max_hamming
+        t = simhash._emit_pairs_bucket(
+            g([far, 7, 7, 7], ["u0", "u1", "u2", "u3"]), cap=2, max_hamming=3
+        )
+        assert sum(t["dropped"].to_pylist()) == 3
+        assert all(a != b for a, b in zip(t["url_a"].to_pylist(), t["url_b"].to_pylist()))
+
+        # every ring pair fails -> the tally rides a self-pair marker row
+        t2 = simhash._emit_pairs_bucket(
+            g([far, 7, far, 7], ["u0", "u1", "u2", "u3"]), cap=2, max_hamming=3
+        )
+        assert sum(t2["dropped"].to_pylist()) == 3
+        markers = [
+            (a, b)
+            for a, b in zip(t2["url_a"].to_pylist(), t2["url_b"].to_pylist())
+            if a == b
+        ]
+        assert len(markers) == 1
+
     def test_capped_hot_block_keeps_connectivity(self):
         """A mega-cluster of identical docs above the cap still comes out
         connected (ring emission), with dropped-pair counts surfaced."""

@@ -97,6 +97,20 @@ class TestPipeline:
         for r in edges:
             assert r["size_a"] < r["size_b"]
 
+    def test_routed_verify_matches_broadcast(self, synth_corpus):
+        """Candidate sets past ``broadcast_limit`` verify through the
+        two-pass bucketed text join (stages/textjoin.py) — forcing the
+        limit to 0 must reproduce the broadcast path's exact edge set
+        (VERDICT r2 #3: no unbounded driver text broadcast)."""
+        cfg = substring.ContainmentConfig(num_buckets=8, broadcast_limit=0)
+        pages = synth_corpus.pages.select(["url", "text"])
+        truth = _truth(pages, cfg)
+        assert truth
+        edges = substring.containment_edges(rd.from_arrow(pages), cfg).take_all()
+        got = {(r["url_a"], r["url_b"]) for r in edges}
+        assert got == truth
+        assert len(edges) == len(got)
+
     def test_probe_path_short_docs(self, ray_session):
         """Docs far below the anchor window still get containment edges
         via the broadcast probe scan."""
