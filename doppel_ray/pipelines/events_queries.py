@@ -68,6 +68,57 @@ def events_hourly(sf_dir: str):
 
 
 @query(
+    "events_hopping",
+    # window w covers ts iff w = hopfloor(ts) - j*hop for j in 0..k-1,
+    # so the oracle is the same replicate-then-group in integer epoch
+    # arithmetic (hop = 15 min = 9e8 us, length = 1 h, k = 4)
+    """
+    SELECT (epoch_us(ts) // 900000000) * 900000000 - j * 900000000 AS window_us,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1-hour windows every 15 minutes): each
+    event fans out to its 4 covering windows via one vectorized take,
+    then the same groupby shuffle as the tumbling case."""
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    ds = windows.add_hopping_windows(ds, length_minutes=60, hop_minutes=15)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "window_us": batch["window_us"],
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+    return finalize(
+        agg,
+        pa.schema(
+            [
+                ("window_us", pa.int64()),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "user_sessions",
     """
     WITH flagged AS (

@@ -55,6 +55,45 @@ def add_tumbling_window(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def add_hopping_windows(
+    ds: Dataset,
+    *,
+    ts_col: str = "ts",
+    length_minutes: int = 60,
+    hop_minutes: int = 15,
+    out_col: str = "window_us",
+) -> Dataset:
+    """Hopping (sliding) windows: every event row replicates into
+    ``length/hop`` rows, one per covering window, with the window start
+    (epoch micros) in ``out_col`` — then any plain groupby aggregates
+    per window, exactly like the tumbling case.
+
+    Fan-out is the fixed small factor length/hop (vectorized
+    ``Table.take`` on repeat indices, no per-row Python); select the
+    needed columns BEFORE calling so only narrow rows replicate. An
+    event at ts lies in window [w, w+L) iff w = hopfloor(ts) - j*H for
+    j in 0..L/H-1, so the replication is exact with no boundary filter.
+    """
+    assert length_minutes % hop_minutes == 0, "hop must divide length"
+    k = length_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.int64()))
+        base = pc.floor_temporal(batch[ts_col], multiple=hop_minutes, unit="minute")
+        base_us = pc.cast(base, pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        w = np.repeat(base_us, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n
+        )
+        taken = batch.take(pa.array(idx))
+        return taken.append_column(out_col, pa.array(w, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sessionize(
     ds: Dataset,
     *,

@@ -103,3 +103,44 @@ class TestSessionize:
         rows = [(1, 2, 0), (1, 1, 0), (1, 3, 0)]
         out = windows.sessionize(rd.from_arrow(_events(rows)), num_buckets=2).take_all()
         assert len(out) == 1 and out[0]["n_events"] == 3
+
+
+class TestHoppingWindows:
+    def test_each_event_covers_k_windows(self, ray_session):
+        rows = [(1, i, off) for i, off in enumerate([0, 7, 14, 29, 61, 200])]
+        out = windows.add_hopping_windows(
+            rd.from_arrow(_events(rows)), length_minutes=60, hop_minutes=15
+        ).take_all()
+        assert len(out) == len(rows) * 4
+        base = dt.datetime(2026, 1, 1)
+        L = 60 * 60 * US
+        for r in out:
+            ts_us = int(r["ts"].timestamp() * US) if hasattr(r["ts"], "timestamp") else int(
+                np.datetime64(r["ts"], "us").astype(np.int64)
+            )
+            w = r["window_us"]
+            assert w <= ts_us < w + L  # window really covers the event
+            assert w % (15 * 60 * US) == 0
+
+    def test_window_counts_match_brute_force(self, ray_session):
+        rng = np.random.default_rng(7)
+        offs = sorted(rng.integers(0, 600, 200).tolist())
+        rows = [(1, i, int(o)) for i, o in enumerate(offs)]
+        out = windows.add_hopping_windows(
+            rd.from_arrow(_events(rows)), length_minutes=60, hop_minutes=15
+        ).take_all()
+        got: dict[int, int] = {}
+        for r in out:
+            got[r["window_us"]] = got.get(r["window_us"], 0) + 1
+        base_us = int(
+            np.datetime64(dt.datetime(2026, 1, 1), "us").astype(np.int64)
+        )
+        hop, L = 15 * 60 * US, 60 * 60 * US
+        want: dict[int, int] = {}
+        lo = (base_us // hop) * hop - L
+        hi = base_us + 600 * 60 * US + L
+        for w in range(lo, hi, hop):
+            c = sum(1 for o in offs if w <= base_us + o * 60 * US < w + L)
+            if c:
+                want[w] = c
+        assert got == want
