@@ -191,10 +191,19 @@ def run_one(name: str) -> dict:
     warm_docs = int(os.environ.get("BENCH_WARM_DOCS", "8000"))
     _query_specs(limit=warm_docs)[name]()
 
+    # min over BENCH_REPS timed runs: this VM's host stalls are one-sided
+    # (they only ever ADD seconds — identical binaries measured 9.6 /
+    # 23.5 / 53.5 s back-to-back), so the minimum is the estimator of
+    # machine capability and a single sample is a coin flip
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     fn = _query_specs()[name]
-    t0 = time.monotonic()
-    fn()
-    sec = round(time.monotonic() - t0, 3)
+    sec = None
+    for _ in range(max(1, reps)):
+        t0 = time.monotonic()
+        fn()
+        s = time.monotonic() - t0
+        sec = s if sec is None else min(sec, s)
+    sec = round(sec, 3)
     ray.shutdown()
     return {"query": name, "sec": sec, "n_pages": n_pages}
 
