@@ -76,7 +76,11 @@ class ContainmentConfig:
     min_contained_size: int = 8 # ignore trivially-short contained docs
     gram_cap: int = 4096        # max pairs emitted per hot gram group
     probe_cap: int = 50000      # max broadcast probes (overflow counted)
-    sa_min_probes: int = 8      # build a suffix array above this count
+    # build a per-batch suffix array only above this probe count:
+    # C-speed ``bytes.find`` costs ~1 ms per probe per MB-batch while the
+    # SA build costs ~0.6 s per batch (measured: 27 probes / 5k docs ran
+    # 2.9 s with SA vs 0.25 s with find) — break-even is O(hundreds)
+    sa_min_probes: int = 512
     broadcast_limit: int = 100_000  # max candidate pairs verified via the
                                     # driver broadcast fast path; above it
                                     # the two-pass bucketed text join runs
@@ -385,8 +389,13 @@ def _verify_pairs(ds: Dataset, pairs: Dataset, cfg: ContainmentConfig) -> Datase
             schema=CONTAIN_EDGES_SCHEMA,
         )
 
-    pairs_ds = ray.data.from_arrow(
-        pa.Table.from_pandas(df[["url_a", "url_b"]], preserve_index=False)
+    from doppel_ray.stages.util import from_arrow_blocks
+
+    # sliced into blocks so the verify fans across the pool instead of
+    # running as one task (from_arrow = one block)
+    pairs_ds = from_arrow_blocks(
+        pa.Table.from_pandas(df[["url_a", "url_b"]], preserve_index=False),
+        4 * cfg.num_buckets,
     )
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 

@@ -22,3 +22,26 @@ def collect_table(ds: Dataset, schema: pa.Schema | None = None) -> pa.Table:
     if schema is not None:
         batches = [b.select(schema.names).cast(schema) for b in batches]
     return pa.concat_tables(batches)
+
+
+def from_arrow_blocks(table: pa.Table, n_blocks: int) -> Dataset:
+    """Driver table -> Dataset with ~n_blocks blocks (one slice each).
+
+    ``ray.data.from_arrow(table)`` creates ONE block, so a downstream
+    ``map_batches`` runs as ONE task — single-threaded no matter how many
+    CPUs the cluster has (measured: the minhash driver-regime verify of
+    ~190k pairs spent 3.6 s in one task; sliced, it fans across the
+    pool). Use for any driver-built table whose downstream map is the
+    point of the dataset."""
+    import ray.data
+
+    n = table.num_rows
+    if n == 0 or n_blocks <= 1:
+        return ray.data.from_arrow(table)
+    # at least ~1k rows per block: a tiny table sliced 256 ways pays 256
+    # task launches for microseconds of work each
+    step = max(1024, (n + n_blocks - 1) // n_blocks)
+    if step >= n:
+        return ray.data.from_arrow(table)
+    slices = [table.slice(i, step) for i in range(0, n, step)]
+    return ray.data.from_arrow(slices)

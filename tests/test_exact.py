@@ -127,3 +127,19 @@ class TestTextPassThrough:
             )
         )
         assert out == want
+
+
+class TestFromArrowBlocks:
+    def test_slices_and_small_table_passthrough(self, ray_session):
+        import pyarrow as pa
+
+        from doppel_ray.stages.util import from_arrow_blocks
+
+        big = pa.table({"x": list(range(5000))})
+        ds = from_arrow_blocks(big, 4)
+        assert ds.num_blocks() == 4
+        assert sorted(r["x"] for r in ds.take_all()) == list(range(5000))
+        small = pa.table({"x": list(range(10))})
+        assert from_arrow_blocks(small, 64).num_blocks() == 1
+        empty = pa.table({"x": pa.array([], type=pa.int64())})
+        assert from_arrow_blocks(empty, 8).count() == 0

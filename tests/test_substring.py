@@ -131,6 +131,11 @@ class TestPipeline:
         edges = substring.containment_edges(rd.from_arrow(t), cfg).take_all()
         got = {(r["url_a"], r["url_b"]) for r in edges}
         assert ("short1", "long1") in got
+        # the suffix-array probe branch (above sa_min_probes, default now
+        # in the hundreds) must return the same edges as bytes.find
+        sa_cfg = substring.ContainmentConfig(num_buckets=4, sa_min_probes=1)
+        sa_edges = substring.containment_edges(rd.from_arrow(t), sa_cfg).take_all()
+        assert {(r["url_a"], r["url_b"]) for r in sa_edges} == got
         assert ("short1", "long2") in got
         assert ("short2", "long1") in got
         assert not any(a == "unrelated" or b == "unrelated" for a, b in got)
