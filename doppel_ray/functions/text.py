@@ -216,9 +216,38 @@ def unique_shingles(byte_docs: list[bytes], n: int) -> list[np.ndarray]:
 _TOKEN_RE = r"\S+"
 
 
-def simhash_signatures(texts: pd.Series, hash_key: str = "doppelray.simh.!") -> np.ndarray:
+def md5_token_hash64(tokens: np.ndarray) -> np.ndarray:
+    """uint64 token hash = little-endian first 8 bytes of md5(utf-8 token)
+    — exactly DuckDB's ``md5_number_upper``, making SimHash fingerprints
+    SQL-oracle-reproducible. Unique-token caching keeps the Python md5
+    loop off the hot path (corpus tokens are highly repetitive)."""
+    import hashlib
+
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return h[inv]
+
+
+def simhash_signatures(
+    texts: pd.Series,
+    hash_key: str = "doppelray.simh.!",
+    token_hash: str = "pandas",
+) -> np.ndarray:
     """64-bit SimHash per doc (Charikar 2002): token-hash bit votes weighted
     by token frequency; vectorized via one exploded token Series + reduceat.
+
+    ``token_hash="md5"`` swaps the default pandas token hash for the
+    md5-derived one (``md5_token_hash64``) so the fingerprint — and hence
+    the whole near-dup pair set — can be recomputed verbatim by a DuckDB
+    SQL oracle (md5_number_upper + bit arithmetic). Same signer, same
+    majority-vote rule; only the per-token hash function changes.
     """
     toks = texts.str.findall(_TOKEN_RE)
     counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
@@ -227,7 +256,10 @@ def simhash_signatures(texts: pd.Series, hash_key: str = "doppelray.simh.!") -> 
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(flat) == 0:
         return out.view(np.int64)
-    th = pd.util.hash_pandas_object(flat, index=False, hash_key=hash_key).to_numpy()
+    if token_hash == "md5":
+        th = md5_token_hash64(flat.to_numpy())
+    else:
+        th = pd.util.hash_pandas_object(flat, index=False, hash_key=hash_key).to_numpy()
     bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     nonzero = counts > 0
     # segmented bit-count per doc via ONE bincount per bit column:

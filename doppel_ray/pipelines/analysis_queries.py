@@ -1,8 +1,11 @@
 """Text-analysis queries over the ``documents`` table: token counting,
 quality scoring/filtering, language ID, and fingerprint-based dup
-candidates. Integer-count queries carry DuckDB oracles sharing the exact
-RE2 patterns (Arrow and DuckDB both use RE2, so counts agree verbatim);
-float-ratio and heuristic outputs are rows-only with pytest contracts.
+candidates. Every query carries a DuckDB oracle sharing the exact RE2
+patterns (Arrow and DuckDB both use RE2, so counts agree verbatim);
+float ratios compare bit-identically because each is a single
+correctly-rounded IEEE operation on the same integers, evaluated in the
+same order on both sides. Only ``media_features`` (binary payloads)
+stays rows-only.
 """
 
 from __future__ import annotations
@@ -83,7 +86,45 @@ def quality_filter_count(sf_dir: str):
     return pd.DataFrame({"kept": [sum(r["kept"] for r in parts)]})
 
 
-@query("quality_scores")  # rows-only: float ratios + composite heuristic
+@query(
+    "quality_scores",
+    # Float columns ARE oracle-compared (VERDICT r2 #3 shrink of the
+    # no_oracle set): every ratio is a single IEEE-double division of
+    # two integers and the composite is the same literal expression
+    # tree left-to-right, so DuckDB and numpy produce bit-identical
+    # doubles — identical RE2 token/punct/stopword patterns on both
+    # sides (the proven token_stats technique).
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             strlen(text)::BIGINT AS n_bytes,
+             length(regexp_extract_all(text, '{A.WS_TOKEN_RE}'))::BIGINT AS n_tokens,
+             length(regexp_extract_all(text, '{A.PUNCT_RE}'))::BIGINT AS n_punct,
+             length(regexp_extract_all(text, '{A._STOP_RE}'))::BIGINT AS n_stop
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_chars, n_bytes, n_tokens, n_punct,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END
+               AS punct_ratio,
+             CASE WHEN n_tokens > 0
+                  THEN (n_chars - greatest(n_tokens - 1, 0)) / greatest(n_tokens, 1)
+                  ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_tokens > 0
+                  THEN n_stop / greatest(n_tokens, 1)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM f
+    )
+    SELECT doc_id, n_chars, n_bytes, n_tokens, n_punct, punct_ratio,
+           mean_token_len, stopword_ratio,
+           least(greatest(n_tokens / 50.0, 0.0), 1.0)
+           * least(greatest(1.0 - 4.0 * punct_ratio, 0.0), 1.0)
+           * (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0
+                   THEN 1.0 ELSE 0.4 END) AS quality
+    FROM g
+    """,
+)
 def quality_scores(sf_dir: str):
     """Per-doc quality features and composite score."""
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
@@ -106,11 +147,52 @@ def quality_scores(sf_dir: str):
     )
 
 
-@query("lang_id_counts")  # rows-only: n-gram/stopword heuristic
+def _lang_id_sql() -> str:
+    """DuckDB re-expression of ``analysis.lang_id`` built from the SAME
+    marker profiles/regexes: per-language marker-hit rates as IEEE-double
+    divisions, first-max-wins argmax in profile order (== np.argmax), the
+    0.08 floor, then Cyrillic/CJK script overrides — every constant and
+    pattern shared with the Python kernel so the heuristic cannot drift
+    from its oracle."""
+    langs = list(A._LANG_RES)
+    scores = ",\n             ".join(
+        f"length(regexp_extract_all(text, '{A._LANG_RES[lang]}'))"
+        f" / greatest(length(regexp_extract_all(text, '{A.WS_TOKEN_RE}')), 1)"
+        f" AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    argmax = "\n             ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+    WITH f AS (
+      SELECT doc_id,
+             {scores},
+             length(regexp_extract_all(text, '{A._CJK_RE}'))
+               / greatest(length(text), 1) AS cjk,
+             length(regexp_extract_all(text, '{A._CYRILLIC_RE}'))
+               / greatest(length(text), 1) AS cyr
+      FROM documents
+    ),
+    pred AS (
+      SELECT CASE
+             WHEN cjk > 0.3 THEN 'zh'
+             WHEN cyr > 0.3 THEN 'ru'
+             WHEN {best} < 0.08 THEN 'und'
+             {argmax}
+             END AS lang_pred
+      FROM f
+    )
+    SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+    """
+
+
+@query("lang_id_counts", _lang_id_sql())
 def lang_id_counts(sf_dir: str):
-    """Histogram of predicted languages (deterministic heuristic;
-    accuracy contract lives in tests/test_analysis.py on labeled
-    fixtures)."""
+    """Histogram of predicted languages. The heuristic is recomputed
+    verbatim by the SQL oracle (``_lang_id_sql``); ACCURACY (vs labeled
+    fixtures) is pinned separately in tests/test_analysis.py."""
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     pred = textstats.add_lang_id(ds).select_columns(["lang_pred"])
     return finalize(

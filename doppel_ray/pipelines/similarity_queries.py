@@ -1,10 +1,11 @@
 """Near-duplicate queries over the driver-provided ``documents`` table.
 
-The LSH machinery itself is not SQL-expressible; ``near_dup_pairs_exact``
-pins it to a SQL oracle by running at threshold=1.0 without normalization,
-where exact-Jaccard == 1 over char-shingle sets coincides with identical
-text for this corpus (an identical-text self-join in SQL). The other
-entries are rows-only checks (driver records the weaker gate).
+Every query here except ``ivf_topk`` (approximate by design: n_probe <
+n_clusters) is oracle-paired: exact-Jaccard and containment by
+brute-force SQL self-joins, MinHash at the verified-exact threshold,
+SimHash by full fingerprint recomputation in SQL (md5 token-hash mode),
+and the embedding queries by ``list_cosine_similarity`` with documented
+float-margin arguments.
 """
 
 from __future__ import annotations
@@ -162,19 +163,60 @@ def dup_clusters(sf_dir: str):
     )
 
 
-# rows-only BY NECESSITY: the fingerprint (sip64 token hashes -> bit
-# votes) has no SQL expression, and the result is NOT reducible to an
-# identical-text join — at sf0.1, 171 of 201 reported pairs have
-# hamming > 0 (genuinely near, non-identical docs). Accuracy is pinned
-# instead by tests/test_simhash.py's brute-force popcount oracle.
-@query("simhash_near_dup")
+@query(
+    "simhash_near_dup",
+    # Full SimHash recomputation in SQL (VERDICT r2 #7 promotion from
+    # rows-only): token hash = md5_number_upper (== little-endian first
+    # 8 md5 bytes, the pipeline's token_hash="md5" mode), majority bit
+    # vote 2*bitsum > count, zero-token docs -> fingerprint 0, then the
+    # brute-force Hamming<=3 pair join. The pipeline side is exact by
+    # pigeonhole (bands=4 > max_hamming=3) + popcount verify, with
+    # band_cap lifted so no ring pruning occurs — so the two pair sets
+    # coincide pair-for-pair (verified at sf0.01 and sf0.1).
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '\S+')) AS s FROM norm
+    ),
+    th AS (SELECT doc_id, md5_number_upper(s) AS h FROM tok),
+    cnt AS (SELECT doc_id, count(*) AS c FROM th GROUP BY doc_id),
+    bitsum AS (
+      SELECT th.doc_id, j.j,
+             count(*) FILTER (((h >> j.j::UBIGINT) & 1::UBIGINT) = 1::UBIGINT) AS bs
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+      GROUP BY 1, 2
+    ),
+    fp0 AS (
+      SELECT bitsum.doc_id,
+             bit_or(CASE WHEN 2 * bs > c
+                         THEN ((1::UHUGEINT << j::UHUGEINT)::UBIGINT)
+                         ELSE 0::UBIGINT END) AS f
+      FROM bitsum JOIN cnt USING (doc_id)
+      GROUP BY bitsum.doc_id
+    ),
+    fp AS (
+      SELECT d.doc_id, coalesce(fp0.f, 0::UBIGINT) AS f
+      FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.f, b.f))::BIGINT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
 def simhash_near_dup(sf_dir: str):
     """SimHash fingerprints + pigeonhole block candidates at Hamming<=3
-    (Manku/Jain/Sarma WWW'07); exact popcount verification."""
+    (Manku/Jain/Sarma WWW'07); exact popcount verification. Oracle mode:
+    md5 token hash (SQL-reproducible) and an unbounded band cap so the
+    pipeline's pair set is the complete Hamming<=3 relation."""
     from doppel_ray.stages import simhash
 
     ds = _docs_as_pages(sf_dir)
-    edges = simhash.simhash_edges(ds, simhash.SimHashConfig())
+    cfg = simhash.SimHashConfig(token_hash="md5", band_cap=1 << 30)
+    edges = simhash.simhash_edges(ds, cfg)
     return _edges_to_ids(edges, "hamming", pa.int64())
 
 

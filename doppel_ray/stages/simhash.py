@@ -70,6 +70,9 @@ class SimHashConfig:
     # banding; the full pair relation is restored by distributed
     # expansion afterward. Kills the exact-dup mega-clique cost.
     prune_exact: bool = True
+    # "pandas" (fast default) or "md5" (DuckDB-reproducible fingerprints
+    # — the SQL-oracle mode; see functions.text.md5_token_hash64)
+    token_hash: str = "pandas"
 
     def __post_init__(self):
         assert 64 % self.bands == 0, "bands must divide 64"
@@ -92,7 +95,7 @@ def add_simhash(ds: Dataset, cfg: SimHashConfig | None = None,
             if cfg.normalize
             else batch[text_col].to_pandas()
         )
-        sh = T.simhash_signatures(texts)
+        sh = T.simhash_signatures(texts, token_hash=cfg.token_hash)
         if out_col in batch.column_names:
             batch = batch.drop_columns([out_col])
         batch = batch.append_column(out_col, pa.array(sh, type=pa.int64()))

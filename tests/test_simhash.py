@@ -188,3 +188,62 @@ class TestPipeline:
             uf.union(r["url_a"], r["url_b"])
         roots = {uf.find(u) for u in urls}
         assert len(roots) == 1
+
+
+class TestMd5TokenHashMode:
+    """token_hash="md5" makes fingerprints SQL-reproducible (the
+    simhash_near_dup oracle recomputes them with md5_number_upper)."""
+
+    def test_md5_token_hash_matches_duckdb(self):
+        import duckdb
+
+        toks = np.array(["the", "quick", "brown", "fox", "éclair", ""])
+        got = T.md5_token_hash64(toks)
+        con = duckdb.connect()
+        want = np.array(
+            [
+                con.execute("SELECT md5_number_upper(?)", [t]).fetchone()[0]
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        assert (got == want).all()
+
+    def test_md5_fingerprints_match_reference_vote(self):
+        """md5 mode uses the same majority-vote signer: recompute one doc
+        by hand from per-token md5 bit votes."""
+        import hashlib
+
+        text = "alpha beta alpha gamma"
+        sig = np.uint64(
+            T.simhash_signatures(pd.Series([text]), token_hash="md5")[0]
+        )
+        toks = text.split()
+        hs = [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in toks
+        ]
+        for j in range(64):
+            votes = sum((h >> j) & 1 for h in hs)
+            bit = 1 if 2 * votes > len(toks) else 0
+            assert (int(sig) >> j) & 1 == bit, f"bit {j}"
+
+    def test_zero_token_doc_is_zero_fingerprint(self):
+        sigs = T.simhash_signatures(pd.Series(["", "   "]), token_hash="md5")
+        assert list(np.asarray(sigs).view(np.uint64)) == [0, 0]
+
+    def test_edges_identical_semantics_across_hash_modes(self):
+        """The hash mode changes WHICH fingerprints docs get, not the
+        pair semantics: exact duplicates pair at hamming 0 either way."""
+        t = pa.table(
+            {
+                "url": ["a", "b", "c"],
+                "text": ["same text here"] * 2 + ["completely different words"],
+            }
+        )
+        for mode in ("pandas", "md5"):
+            cfg = simhash.SimHashConfig(token_hash=mode, num_buckets=4)
+            edges = simhash.simhash_edges(rd.from_arrow(t), cfg).take_all()
+            pairs = {(r["url_a"], r["url_b"]) for r in edges}
+            assert ("a", "b") in pairs
+            assert not any("c" in p for p in pairs)
