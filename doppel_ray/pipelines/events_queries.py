@@ -1,7 +1,8 @@
-"""Windowed-aggregate and sessionization queries over the ``events``
-table — the streaming-style operators of a training-data pipeline,
-expressed as groupby compositions with exact SQL oracles (integer-only
-outputs: epoch micros and scaled-integer sums, so no float hash drift).
+"""Windowed-aggregate, sessionization, and time-keyed join queries over
+the ``events`` table — the streaming-style operators of a training-data
+pipeline, expressed as groupby/bucketed-shuffle compositions with exact
+SQL oracles (integer-only outputs: epoch micros, ids, and
+scaled-integer sums, so no float hash drift).
 """
 
 from __future__ import annotations
@@ -149,6 +150,138 @@ def user_sessions(sf_dir: str):
     ds = read_events(sf_dir, columns=["user_id", "event_id", "ts"])
     return finalize(
         windows.sessionize(ds, gap_minutes=30.0), windows.SESSION_SCHEMA
+    )
+
+
+@query(
+    "events_asof",
+    # DuckDB's native ASOF JOIN is the oracle: for each click, the
+    # latest at-or-before purchase of the same user. The right side is
+    # pre-deduped to one row per (user, ts) — max event_id — so the tie
+    # rule is well-defined on both sides.
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, ts, max(event_id) AS match_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT l.event_id, r.match_id, epoch_us(r.ts) AS match_ts_us
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof(sf_dir: str):
+    """As-of join (stages/joins.py): each click event picks the same
+    user's most recent purchase at-or-before it — one tagged-union
+    bucketed shuffle, per-bucket ``merge_asof``. Integer-only output
+    (ids + epoch micros)."""
+    from ray.data.aggregate import Max
+
+    from doppel_ray.stages.joins import asof_join
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    left = ds.filter(expr="event_type == 'click'").map_batches(
+        to_us, batch_format="pyarrow"
+    )
+    right = (
+        ds.filter(expr="event_type == 'purchase'")
+        .map_batches(to_us, batch_format="pyarrow")
+        .groupby(["user_id", "ts_us"])
+        .aggregate(Max("event_id", alias_name="match_id"))
+    )
+
+    def carry_ts(batch: pa.Table) -> pa.Table:
+        return batch.append_column("match_ts_us", batch["ts_us"])
+
+    right = right.map_batches(carry_ts, batch_format="pyarrow")
+    joined = asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts_us",
+        left_cols=["event_id"],
+        right_cols=["match_id", "match_ts_us"],
+        inner=True,
+    ).select_columns(["event_id", "match_id", "match_ts_us"])
+    return finalize(
+        joined,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("match_id", pa.int64()),
+                ("match_ts_us", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "events_range_join",
+    """
+    SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+    FROM events l JOIN events r
+      ON r.user_id = l.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_range_join(sf_dir: str):
+    """Bounded range join (stages/joins.py): every (click, purchase)
+    pair of the same user with the purchase strictly after the click
+    and within one hour — per-bucket segment searchsorted, exact."""
+    from doppel_ray.stages.joins import range_join
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+
+    def rename(new: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    new: batch["event_id"],
+                    "user_id": batch["user_id"],
+                    "ts": batch["ts"],
+                }
+            )
+
+        return fn
+
+    left = ds.filter(expr="event_type == 'click'").map_batches(
+        rename("click_id"), batch_format="pyarrow"
+    )
+    right = ds.filter(expr="event_type == 'purchase'").map_batches(
+        rename("purchase_id"), batch_format="pyarrow"
+    )
+    pairs = range_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        left_id="click_id",
+        right_id="purchase_id",
+        lower_us=0,
+        upper_us=3_600_000_000,
+    )
+    return finalize(
+        pairs,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("click_id", pa.int64()),
+                ("purchase_id", pa.int64()),
+            ]
+        ),
     )
 
 
