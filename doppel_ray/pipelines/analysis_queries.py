@@ -233,6 +233,131 @@ def fingerprint_dup_groups(sf_dir: str):
     )
 
 
+@query(
+    "doc_sample",
+    # same md5-low64 hash on both sides (functions.text.md5_token_hash64
+    # == DuckDB md5_number_upper), so the 5% sample is reproduced
+    # verbatim — deterministic across runs, cluster sizes, and block
+    # layouts, unlike RNG sampling
+    """
+    SELECT doc_id FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 50
+    """,
+)
+def doc_sample(sf_dir: str):
+    """Deterministic 5% hash sample of documents keyed on doc_id
+    (stages/sample.py) — the train/heldout split primitive."""
+    from doppel_ray.stages.sample import hash_sample
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    out = hash_sample(ds, "doc_id", num=50, den=1000)
+    return finalize(out, pa.schema([("doc_id", pa.int64())]))
+
+
+@query(
+    "term_doc_freq",
+    rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '{A.WS_TOKEN_RE}')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS df
+    FROM tok GROUP BY token
+    HAVING 10 * count(*) >= (SELECT count(*) FROM documents)
+    """,
+)
+def term_doc_freq(sf_dir: str):
+    """Document frequency of tokens appearing in >= 10% of docs — the
+    inverted-index statistic. Combiner-first shape: each batch emits
+    per-token DISTINCT-doc partial counts (a doc lives in exactly one
+    batch row, so batch-local distinct is globally exact), then one
+    small groupby sums partials — the shuffle carries (token, int), not
+    the exploded token stream."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.utf8_lower(batch["text"]).to_pandas()
+        toks = s.str.findall(A.WS_TOKEN_RE)
+        flat = toks.explode().dropna()
+        if flat.empty:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"doc": flat.index, "token": flat.to_numpy()})
+        counts = df.drop_duplicates().groupby("token", sort=False).size()
+        return pa.table(
+            {
+                "token": pa.array(counts.index, type=pa.string()),
+                "df": pa.array(counts.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .filter(expr=f"df >= {(n_docs + 9) // 10}")  # == 10*df >= n_docs
+    )
+    return finalize(
+        agg, pa.schema([("token", pa.string()), ("df", pa.int64())])
+    )
+
+
+@query(
+    "top_sources_by_lang",
+    """
+    SELECT lang, source, n FROM (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, source
+    ) <= 3
+    """,
+)
+def top_sources_by_lang(sf_dir: str):
+    """Per-group top-k: the 3 most frequent sources per language
+    (count-desc, source-asc tiebreak) — grouped count shuffle, then a
+    bucketed per-lang head over the tiny counts table."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    ds = read_documents(sf_dir, columns=["lang", "source"])
+    counts = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            g.to_pandas()
+            .sort_values(["lang", "n", "source"], ascending=[True, False, True])
+            .groupby("lang", sort=False)
+            .head(3)
+        )
+        return pa.Table.from_pandas(
+            df[["lang", "source", "n"]], preserve_index=False
+        ).cast(out_schema)
+
+    top = bucketed_group_apply(counts, "lang", topk, num_buckets=8)
+    return finalize(top, out_schema)
+
+
 @query("media_features")  # rows-only: binary payloads, no SQL analog
 def media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: deterministic synthetic RAWI

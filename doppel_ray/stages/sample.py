@@ -1,0 +1,69 @@
+"""Deterministic hash-based sampling / split stages.
+
+The right way to carve train/validation/test splits (or a profiling
+sample) out of a 100 TB corpus: a pure ``map_batches`` filter on a
+stable hash of a key column — no RNG state, no shuffle, no sort, and
+the SAME rows are selected regardless of cluster size, block layout, or
+run count (unlike ``Dataset.random_sample``). The hash is the md5-low64
+used by the SimHash oracle mode (``functions.text.md5_token_hash64``),
+so a DuckDB oracle reproduces the selection verbatim with
+``md5_number_upper(key) % den < num``.
+
+Mirrors the reference's determinism stance (stable group ids replacing
+Go map iteration order, SURVEY.md G4): sampling decisions are a pure
+function of the record key, never of execution order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from doppel_ray.functions.text import md5_token_hash64
+
+
+def hash_sample(
+    ds: Dataset,
+    key_col: str,
+    *,
+    num: int,
+    den: int = 1000,
+    salt: str = "",
+    invert: bool = False,
+) -> Dataset:
+    """Keep rows where ``md5_64(str(key) + salt) % den < num`` — a
+    deterministic ~num/den sample keyed on ``key_col``.
+
+    ``invert=True`` keeps the complement, so
+    ``hash_sample(ds, k, num=n)`` and ``hash_sample(ds, k, num=n,
+    invert=True)`` are a disjoint, exhaustive train/heldout split.
+    Different ``salt`` values draw independent samples.
+    """
+    assert 0 <= num <= den
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        col = batch[key_col]
+        keys = np.asarray(
+            [str(v) + salt for v in col.to_pylist()], dtype=object
+        )
+        h = md5_token_hash64(keys) % np.uint64(den)
+        keep = h < np.uint64(num)
+        if invert:
+            keep = ~keep
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: Dataset, key_col: str, *, num: int, den: int = 1000, salt: str = ""
+) -> tuple[Dataset, Dataset]:
+    """(sample, rest) disjoint split by the same deterministic rule."""
+    return (
+        hash_sample(ds, key_col, num=num, den=den, salt=salt),
+        hash_sample(ds, key_col, num=num, den=den, salt=salt, invert=True),
+    )
