@@ -315,6 +315,47 @@ def term_doc_freq(sf_dir: str):
 
 
 @query(
+    "token_quantiles",
+    rf"""
+    WITH f AS (
+      SELECT length(regexp_extract_all(text, '{A.WS_TOKEN_RE}'))::BIGINT
+               AS n_tokens
+      FROM documents
+    )
+    SELECT 'p25' AS q, quantile_disc(n_tokens, 0.25) AS v FROM f
+    UNION ALL SELECT 'p50', quantile_disc(n_tokens, 0.5) FROM f
+    UNION ALL SELECT 'p75', quantile_disc(n_tokens, 0.75) FROM f
+    UNION ALL SELECT 'p90', quantile_disc(n_tokens, 0.9) FROM f
+    UNION ALL SELECT 'p99', quantile_disc(n_tokens, 0.99) FROM f
+    """,
+)
+def token_quantiles(sf_dir: str):
+    """Exact token-count quantiles via the histogram shuffle
+    (stages/quantiles.py) — matches DuckDB quantile_disc index-for-index."""
+    from doppel_ray.stages.quantiles import exact_quantiles
+
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_tokens": pa.array(A.token_counts(batch["text"]), type=pa.int64())}
+        )
+
+    qs = exact_quantiles(
+        ds.map_batches(add_tokens, batch_format="pyarrow"),
+        "n_tokens",
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+    labels = {0.25: "p25", 0.5: "p50", 0.75: "p75", 0.9: "p90", 0.99: "p99"}
+    return pa.table(
+        {
+            "q": pa.array([labels[p] for p, _ in qs], type=pa.string()),
+            "v": pa.array([v for _, v in qs], type=pa.int64()),
+        }
+    )
+
+
+@query(
     "top_sources_by_lang",
     """
     SELECT lang, source, n FROM (
