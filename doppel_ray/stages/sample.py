@@ -32,14 +32,20 @@ def hash_sample(
     den: int = 1000,
     salt: str = "",
     invert: bool = False,
+    method: str = "md5",
 ) -> Dataset:
-    """Keep rows where ``md5_64(str(key) + salt) % den < num`` — a
+    """Keep rows where ``hash64(str(key) + salt) % den < num`` — a
     deterministic ~num/den sample keyed on ``key_col``.
 
     ``invert=True`` keeps the complement, so
     ``hash_sample(ds, k, num=n)`` and ``hash_sample(ds, k, num=n,
     invert=True)`` are a disjoint, exhaustive train/heldout split.
     Different ``salt`` values draw independent samples.
+
+    ``method="md5"`` is the SQL-oracle-reproducible hash (a Python md5
+    per distinct key — fine for split decisions, not free);
+    ``method="sip64"`` is the fully vectorized production path (same
+    determinism guarantees, no SQL twin).
     """
     assert 0 <= num <= den
 
@@ -47,10 +53,20 @@ def hash_sample(
         if batch.num_rows == 0:
             return batch
         col = batch[key_col]
-        keys = np.asarray(
-            [str(v) + salt for v in col.to_pylist()], dtype=object
-        )
-        h = md5_token_hash64(keys) % np.uint64(den)
+        if method == "sip64":
+            import pandas as pd
+
+            from doppel_ray.functions.hashing import sip64
+
+            keys = col.cast(pa.string()).to_pandas()
+            if salt:
+                keys = keys + salt
+            h = sip64(pd.Series(keys)) % np.uint64(den)
+        else:
+            keys = np.asarray(
+                [str(v) + salt for v in col.to_pylist()], dtype=object
+            )
+            h = md5_token_hash64(keys) % np.uint64(den)
         keep = h < np.uint64(num)
         if invert:
             keep = ~keep

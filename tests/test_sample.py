@@ -63,3 +63,23 @@ class TestHashSample:
             ).fetchall()
         ]
         assert got == want
+
+    def test_sip64_method_deterministic_and_disjoint(self):
+        a = {
+            r["doc_id"]
+            for r in hash_sample(_ds(), "doc_id", num=200, method="sip64").take_all()
+        }
+        b = {
+            r["doc_id"]
+            for r in hash_sample(
+                _ds().repartition(13), "doc_id", num=200, method="sip64"
+            ).take_all()
+        }
+        c = {
+            r["doc_id"]
+            for r in hash_sample(
+                _ds(), "doc_id", num=200, method="sip64", invert=True
+            ).take_all()
+        }
+        assert a == b and a.isdisjoint(c) and a | c == set(range(2000))
+        assert 0.05 < len(a) / 2000 < 0.35
