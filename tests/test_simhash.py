@@ -247,3 +247,49 @@ class TestMd5TokenHashMode:
             pairs = {(r["url_a"], r["url_b"]) for r in edges}
             assert ("a", "b") in pairs
             assert not any("c" in p for p in pairs)
+
+
+class TestExpandPaths:
+    """Broadcast and join expansion paths produce the identical edge set
+    (expand_edges auto-gates on measured member count)."""
+
+    def _edges(self, broadcast_limit: int):
+        from doppel_ray.stages import prune
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "url_a": ["r1", "r2", "x"],
+                    "url_b": ["r2", "y", "y"],
+                    "hamming": pa.array([2, 1, 3], type=pa.int64()),
+                }
+            )
+        )
+        members = rd.from_arrow(
+            pa.table(
+                {
+                    "rep": ["r1", "r1", "r1", "r2", "r2"],
+                    "url": ["r1", "m1", "m2", "r2", "m3"],
+                }
+            )
+        )
+        out = prune.expand_edges(
+            edges,
+            members,
+            num_buckets=4,
+            value_col="hamming",
+            value_type=pa.int64(),
+            identity_value=0,
+            broadcast_limit=broadcast_limit,
+        ).take_all()
+        return sorted((r["url_a"], r["url_b"], r["hamming"]) for r in out)
+
+    def test_broadcast_equals_join_path(self):
+        fast = self._edges(broadcast_limit=1_000_000)  # broadcast
+        slow = self._edges(broadcast_limit=0)          # bucketed joins
+        assert fast == slow
+        # spot-check semantics: intra cliques at 0, cross expansion
+        assert ("m1", "m2", 0) in fast          # r1-class clique pair
+        assert ("m1", "m3", 2) in fast          # r1-r2 edge cross product
+        assert ("m3", "y", 1) in fast           # r2-y edge expanded
+        assert ("x", "y", 3) in fast            # edge between non-class urls
