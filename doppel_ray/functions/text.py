@@ -260,20 +260,28 @@ def simhash_signatures(
         th = md5_token_hash64(flat.to_numpy())
     else:
         th = pd.util.hash_pandas_object(flat, index=False, hash_key=hash_key).to_numpy()
-    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     nonzero = counts > 0
-    # segmented bit-count per doc via ONE bincount per bit column:
-    # np.add.reduceat along axis 0 strides across the (tokens x 64)
-    # matrix column-wise and measured 30s on 3M tokens; 64 bincounts
-    # over the row-major doc-id vector do the same sum in 2.2s (13x).
-    # Bit b of the signature is set iff more than half the tokens vote
-    # 1: sum(2*bit-1) > 0  <=>  2*bitsum > count.
+    # segmented bit-count per doc via per-BYTE integer histograms: for
+    # each of the 8 hash bytes, one unweighted bincount over the key
+    # (doc_id << 8 | byte_value) gives a (docs x 256) byte-value
+    # histogram, and a tiny (256 x 8) bit-table matmul folds it into the
+    # 8 bit positions. Measured 2.05s vs 7.4s for 64 per-bit weighted
+    # bincounts vs ~30s for axis-0 reduceat (2.4M tokens, 20k docs) —
+    # integer bincount beats the float-weights path and 8 passes beat
+    # 64. Bit b of the signature is set iff more than half the tokens
+    # vote 1: sum(2*bit-1) > 0  <=>  2*bitsum > count.
     doc_ids = np.repeat(np.arange(n_docs), counts)
-    bitsums = np.empty((n_docs, 64), dtype=np.float64)
-    for j in range(64):
-        bitsums[:, j] = np.bincount(
-            doc_ids, weights=bits[:, j], minlength=n_docs
-        )
+    hash_bytes = th.view(np.uint8).reshape(-1, 8)
+    bit_table = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+    ).astype(np.int64)
+    bitsums = np.empty((n_docs, 64), dtype=np.int64)
+    base = doc_ids << 8
+    for b in range(8):
+        hist = np.bincount(
+            base | hash_bytes[:, b], minlength=n_docs * 256
+        ).reshape(n_docs, 256)
+        bitsums[:, b * 8 : (b + 1) * 8] = hist @ bit_table
     sig_bits = (2 * bitsums > counts[:, None]).astype(np.uint8)
     packed = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).ravel()
     packed = np.where(nonzero, packed, np.uint64(0))
