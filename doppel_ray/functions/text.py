@@ -152,7 +152,10 @@ def oph_signatures(
         with np.errstate(over="ignore"):
             h = (hashes + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
             h ^= h >> np.uint64(33)
-        bins = (h % np.uint64(P)).astype(np.int64)
+        if P & (P - 1) == 0:  # power-of-two num_perm: mask beats modulo 10x
+            bins = (h & np.uint64(P - 1)).astype(np.int64)
+        else:
+            bins = (h % np.uint64(P)).astype(np.int64)
         np.minimum.at(sig, doc_ids * P + bins, h)
     sig = sig.reshape(n_docs, P)
     filled = sig != MAX
