@@ -437,3 +437,48 @@ def media_features(sf_dir: str):
             "feat": pa.array([list(map(float, r["feat"])) for r in rows], type=pa.list_(pa.float32())),
         }
     )
+
+
+@query(
+    "contaminated_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{A.WS_TOKEN_RE}') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(tk)-2, 0))) AS u(i)
+      WHERE doc_id % 50 = 0
+    )
+    SELECT DISTINCT t.doc_id AS doc_id
+    FROM toks t, UNNEST(generate_series(1, greatest(len(t.tk)-2, 0))) AS u(i)
+    WHERE t.doc_id % 50 <> 0
+      AND array_to_string(t.tk[u.i:u.i+2], ' ') IN (SELECT g FROM bg)
+    """,
+)
+def contaminated_docs(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): docs sharing any
+    token n-gram with the held-out benchmark slice (doc_id % 50 == 0
+    plays the eval suite). n=3 here so the check is non-vacuous at the
+    driver's sf0.01; the shipping n=8 path is pinned non-vacuously in
+    tests/test_decontam.py."""
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages import decontam
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def side(is_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50) == 0
+            return batch.filter(pa.array(m if is_bench else ~m))
+
+        return fn
+
+    bench = ds.map_batches(side(True), batch_format="pyarrow")
+    train = ds.map_batches(side(False), batch_format="pyarrow")
+    return decontam.contaminated_ids(
+        train, bench, id_col="doc_id", text_col="text", n=3
+    )

@@ -199,3 +199,40 @@ def lang_counts(sf_dir: str):
     """Plain grouped aggregate (groupby shuffle smoke check)."""
     ds = read_documents(sf_dir, columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+@query(
+    "incremental_dedup",
+    """
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    WHERE doc_id % 2 = 1
+      AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+    GROUP BY text
+    """,
+)
+def incremental_dedup(sf_dir: str):
+    """Incremental-ingest dedup: the odd-doc_id half of the corpus plays
+    the NEW crawl batch, the even half the existing index; survivors are
+    new docs absent from the index, keep-first within the batch
+    (stages/incremental.py — content-hash anti-join, payloads never
+    shuffle)."""
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages import incremental
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def side(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+
+        return fn
+
+    new_ds = ds.map_batches(side(1), batch_format="pyarrow")
+    index_ds = ds.map_batches(side(0), batch_format="pyarrow")
+    return incremental.dedup_against_index(
+        new_ds, index_ds, id_col="doc_id", text_col="text"
+    )

@@ -1,0 +1,195 @@
+"""Benchmark decontamination: flag/drop training documents that share any
+whitespace-token n-gram with a held-out benchmark/eval set — the published
+n-gram-overlap decontamination rule used by large-LM training pipelines
+(GPT-3 App. C "13-gram overlap"; PaLM §6 uses 8-grams).
+
+Not present in the reference (dr8co/doppel has no corpus-vs-corpus
+operator); included as a first-class LLM-training-data op alongside the
+dedup family (SURVEY.md §2 extension, same rationale as MinHash/SimHash).
+
+Ray-Data design
+---------------
+The benchmark side is tiny BY CONSTRUCTION (eval suites are thousands of
+documents vs 10^9-10^12 training docs), so this is the canonical
+broadcast-semi-join shape, never a shuffle:
+
+1. build the distinct benchmark n-gram set distributed (``map_batches``
+   emitting per-block-distinct grams, then a driver dedupe of the small
+   union) and ``ray.put`` it ONCE;
+2. stream the training corpus through one ``map_batches`` filter — zero
+   all-to-all exchanges, arbitrarily wide corpus.
+
+The per-batch hot path is fully vectorized: tokens come from one C-level
+regex pass, token hashes from one vectorized sip64 pass, and n-gram
+hashes from an n-step rolling polynomial over the flat token stream
+(numpy, no per-row Python). Membership is a ``searchsorted`` against the
+sorted broadcast hash array; the exact n-gram STRING is reconstructed and
+re-checked only for hash hits, so results are exact — a hash collision
+costs one extra string compare, never a wrong answer.
+
+Scale bound: broadcast payload = distinct benchmark n-grams (8 B hash +
+the gram string). A 10k-doc benchmark at 1k tokens/doc is ~10M grams,
+well under 1 GiB — fine for every real eval suite. If a "benchmark" ever
+outgrew a node, the drop-in replacement is a hash-bucketed semi-join on
+the n-gram hash (the ``bucketed_group_apply`` shape); the stage boundary
+is unchanged.
+
+Tokenization is ``\\S+`` — shared verbatim with the DuckDB oracle
+(``regexp_extract_all(text, '\\S+')``), the parity already pinned by the
+``token_stats`` / ``term_doc_freq`` oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from doppel_ray.functions.hashing import sip64
+
+#: odd 64-bit multiplier for the rolling polynomial (splitmix64 constant)
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+
+_TOKEN_RE = r"\S+"  # shared with the SQL oracle: regexp_extract_all(text, '\S+')
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """One C-regex pass over the batch -> (flat token array, per-doc counts)."""
+    s = pd.Series(pa.chunked_array([texts]).to_pandas() if isinstance(texts, pa.Array) else texts.to_pandas())
+    lists = s.str.findall(_TOKEN_RE)
+    counts = lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in lists if len(x)]) if counts.sum() else np.empty(0, dtype=object)
+    return flat, counts
+
+
+def _ngram_hashes(
+    flat: np.ndarray, counts: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling polynomial hash of every within-doc n-gram window.
+
+    Returns (window start positions into ``flat``, uint64 n-gram hashes,
+    doc index per window). Windows crossing a document boundary are
+    masked out via the doc index of the window's two endpoints.
+    """
+    total = len(flat)
+    if total < n:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint64), e
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    th = sip64(pd.Series(flat, dtype=object)).astype(np.uint64)
+    m = total - n + 1
+    h = th[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            h = h * _POLY_B + th[j : m + j]
+    valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+    starts = np.nonzero(valid)[0]
+    return starts, h[valid], doc_idx[starts]
+
+
+def benchmark_ngrams(
+    bench: Dataset, *, text_col: str = "text", n: int = 8
+) -> tuple[np.ndarray, set]:
+    """Distinct benchmark n-grams: (sorted uint64 hash array, string set).
+
+    Distributed: each block emits its block-distinct (hash, gram) pairs;
+    the driver unions the (small) partials. Bounded by the benchmark's
+    distinct n-gram count, not the training corpus.
+    """
+    from doppel_ray.stages.util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        starts, h, _ = _ngram_hashes(flat, counts, n)
+        if len(starts) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
+            )
+        uh, first = np.unique(h, return_index=True)
+        grams = [" ".join(flat[s : s + n]) for s in starts[first]]
+        return pa.table({"h": pa.array(uh.view(np.int64)), "g": pa.array(grams)})
+
+    t = collect_table(
+        bench.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
+    )
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.uint64), set()
+    h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    keep = np.ones(len(h_sorted), dtype=bool)
+    keep[1:] = h_sorted[1:] != h_sorted[:-1]
+    grams = set(t["g"].to_pylist())
+    return h_sorted[keep], grams
+
+
+class _NgramMatcher:
+    """Broadcast-backed per-batch matcher: which docs share a benchmark
+    n-gram? Used by both ``contaminated_ids`` and ``decontaminate``."""
+
+    def __init__(self, ref, text_col: str, n: int):
+        self.ref, self.text_col, self.n = ref, text_col, n
+
+    def doc_mask(self, batch: pa.Table) -> np.ndarray:
+        hashes, grams = ray.get(self.ref)
+        nrows = batch.num_rows
+        mask = np.zeros(nrows, dtype=bool)
+        if len(hashes) == 0 or nrows == 0:
+            return mask
+        flat, counts = _flat_tokens(batch[self.text_col])
+        starts, h, doc_of = _ngram_hashes(flat, counts, self.n)
+        if len(starts) == 0:
+            return mask
+        pos = np.searchsorted(hashes, h)
+        pos[pos == len(hashes)] = 0
+        cand = np.nonzero(hashes[pos] == h)[0]
+        n_ = self.n
+        for k in cand:
+            if mask[doc_of[k]]:
+                continue  # doc already flagged; skip the string rebuild
+            s = starts[k]
+            if " ".join(flat[s : s + n_]) in grams:
+                mask[doc_of[k]] = True
+        return mask
+
+
+def contaminated_ids(
+    train: Dataset,
+    bench: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> Dataset:
+    """IDs of training docs sharing >=1 token n-gram with the benchmark."""
+    ref = ray.put(benchmark_ngrams(bench, text_col=text_col, n=n))
+    matcher = _NgramMatcher(ref, text_col, n)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = matcher.doc_mask(batch)
+        return batch.select([id_col]).filter(pa.array(mask))
+
+    return train.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def decontaminate(
+    train: Dataset,
+    bench: Dataset,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+) -> Dataset:
+    """Training rows with every benchmark-overlapping document removed
+    (all columns preserved) — the shipping decontamination filter."""
+    ref = ray.put(benchmark_ngrams(bench, text_col=text_col, n=n))
+    matcher = _NgramMatcher(ref, text_col, n)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~matcher.doc_mask(batch)))
+
+    return train.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,99 @@
+"""Incremental dedup (stages/incremental.py): anti-join exactness vs a
+DuckDB oracle on a dup-injected two-corpus fixture, both merge regimes of
+``overlap_key_values``, and within-batch keep-first semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from doppel_ray.stages import incremental as I
+
+
+@pytest.fixture(scope="module")
+def two_corpora():
+    # index: ids 0..99; new batch: ids 1000..1099
+    # 30 new docs duplicate an index doc; 10 new docs duplicate each other
+    idx = [(i, f"index document {i} body") for i in range(100)]
+    new = [(1000 + i, f"new document {i} body") for i in range(100)]
+    for i in range(30):
+        new[i] = (1000 + i, idx[i * 3][1])  # cross-corpus dup
+    for i in range(40, 50):
+        new[i] = (1000 + i, "repeated new text")  # within-batch dup
+    return idx, new
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _oracle(idx, new, within_batch=True):
+    con = duckdb.connect()
+    con.register("idx", pa.table({"text": pa.array([r[1] for r in idx])}))
+    con.register(
+        "new",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in new], pa.int64()),
+                "text": pa.array([r[1] for r in new]),
+            }
+        ),
+    )
+    if within_batch:
+        sql = """SELECT min(doc_id) FROM new
+                 WHERE text NOT IN (SELECT text FROM idx) GROUP BY text"""
+    else:
+        sql = """SELECT doc_id FROM new
+                 WHERE text NOT IN (SELECT text FROM idx)"""
+    return {r[0] for r in con.execute(sql).fetchall()}
+
+
+def test_dedup_against_index_keep_first(two_corpora):
+    idx, new = two_corpora
+    expect = _oracle(idx, new)
+    got = I.dedup_against_index(_ds(new), _ds(idx)).take_all()
+    ids = {r["doc_id"] for r in got}
+    assert ids == expect
+    assert 1000 not in ids  # cross-corpus dup removed
+    assert 1040 in ids and 1041 not in ids  # keep-first within batch
+
+
+def test_dedup_against_index_no_within_batch(two_corpora):
+    idx, new = two_corpora
+    expect = _oracle(idx, new, within_batch=False)
+    got = I.dedup_against_index(_ds(new), _ds(idx), within_batch=False)
+    assert {r["doc_id"] for r in got.take_all()} == expect
+
+
+def test_no_overlap_passthrough():
+    idx = [(i, f"a{i}") for i in range(5)]
+    new = [(100 + i, f"b{i}") for i in range(5)]
+    got = I.dedup_against_index(_ds(new), _ds(idx))
+    assert {r["doc_id"] for r in got.take_all()} == {100, 101, 102, 103, 104}
+
+
+def test_overlap_key_values_both_regimes(monkeypatch):
+    a = rd.from_arrow(pa.table({"k": pa.array(["x", "y", "z", "x"])}))
+    b = rd.from_arrow(pa.table({"k": pa.array(["y", "w", "y"])}))
+    got = I.overlap_key_values(a, b, "k")
+    assert set(got.to_pylist()) == {"y"}
+    # scale regime: force the narrow groupby merge path
+    monkeypatch.setattr(I, "DRIVER_AGG_LIMIT", 0)
+    got2 = I.overlap_key_values(a, b, "k")
+    assert set(got2.to_pylist()) == {"y"}
+    # a key duplicated across blocks of ONE side must not count as "both"
+    a2 = rd.from_arrow(pa.table({"k": pa.array(["q"])})).union(
+        rd.from_arrow(pa.table({"k": pa.array(["q"])}))
+    )
+    b2 = rd.from_arrow(pa.table({"k": pa.array(["r"])}))
+    assert len(I.overlap_key_values(a2, b2, "k")) == 0
