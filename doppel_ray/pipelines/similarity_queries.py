@@ -402,3 +402,65 @@ def near_dedup_keep_first(sf_dir: str):
     kept = ds.map_batches(keep, batch_format="pyarrow").select_columns(["url"])
     rows = sorted(int(r["url"]) for r in kept.take_all())
     return pa.table({"doc_id": pa.array(rows, type=pa.int64())})
+
+
+@query(
+    "incremental_near_dedup",
+    # Same exact-Jaccard rule (DISTINCT 5-char shingles of the normalized
+    # text, 5i >= 4u integer arithmetic) as the minhash_near_dup oracle,
+    # restricted to cross-corpus pairs: odd doc_ids play the NEW crawl
+    # batch, even the existing index; survivors are new docs with no
+    # index near-dup. LSH-miss analysis identical to minhash_near_dup
+    # (verification is exact Jaccard; recall >= 0.99 pinned in tests).
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+      WHERE strlen(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_n, b.doc_id AS id_i, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT DISTINCT id_n
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_n
+      JOIN sizes sb ON sb.doc_id = inter.id_i
+      WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_n FROM hits)
+    """,
+)
+def incremental_near_dedup(sf_dir: str):
+    """Incremental near-dedup (stages/incremental.py): new-batch docs
+    surviving MinHash/LSH + exact-Jaccard dedup against the index half
+    of the corpus."""
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages import incremental
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def side(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+
+        return fn
+
+    new_ds = ds.map_batches(side(1), batch_format="pyarrow")
+    index_ds = ds.map_batches(side(0), batch_format="pyarrow")
+    out = incremental.near_dedup_against_index(
+        new_ds, index_ds, minhash.MinHashConfig()
+    )
+    return finalize(out, pa.schema([("doc_id", pa.int64())]))

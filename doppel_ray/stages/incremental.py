@@ -123,3 +123,82 @@ def dedup_against_index(
         .aggregate(Min(id_col, alias_name=id_col))
         .select_columns([id_col])
     )
+
+
+def near_dedup_against_index(
+    new_ds: Dataset,
+    index_ds: Dataset,
+    cfg=None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """IDs of new-batch docs with NO near-duplicate (shingle Jaccard >=
+    cfg.threshold) anywhere in the existing index — incremental ingest
+    with the same MinHash/LSH + exact-verify semantics as
+    ``minhash.near_dup_edges`` (recall harness in tests/test_minhash.py
+    applies unchanged; verification is exact Jaccard, so a surviving doc
+    is exactly one with no verified cross-corpus pair).
+
+    Composition: both sides are tagged into one page stream via a 1-char
+    url prefix (index "0" < new "1", preserving the orientation
+    invariant), banded together, and only CROSS-side verified edges flag
+    a new doc. Requires integer ``id_col``.
+
+    Scale notes: (a) edges are bounded by actual near-dup volume, so the
+    flagged-id set broadcasts (same bound as the exact path's overlap
+    keys); (b) this recomputes index signatures per run — at production
+    scale persist the index's signature/band tables once via the
+    checkpointed job stages (pipelines/job.py) and union at the band
+    level; (c) index-index candidate pairs are skipped at verify cost
+    only after banding — a side-aware pair emission (drop same-side
+    pairs in the band bucket) is the documented optimization; results
+    are identical either way.
+    """
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages import minhash
+    from doppel_ray.stages.util import collect_table
+
+    cfg = cfg or minhash.MinHashConfig()
+
+    def to_pages(prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            return pa.table(
+                {
+                    "url": pa.array([f"{prefix}{i:012d}" for i in ids]),
+                    "text": batch[text_col],
+                }
+            )
+
+        return fn
+
+    union = (
+        new_ds.select_columns([id_col, text_col])
+        .map_batches(to_pages("1"), batch_format="pyarrow")
+        .union(
+            index_ds.select_columns([id_col, text_col]).map_batches(
+                to_pages("0"), batch_format="pyarrow"
+            )
+        )
+    )
+    edges = minhash.near_dup_edges(union, cfg)
+
+    def cross_side_new_ids(batch: pa.Table) -> pa.Table:
+        out = []
+        for x, y in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()):
+            xn, yn = x[0] == "1", y[0] == "1"
+            if xn != yn:
+                out.append(int((x if xn else y)[1:]))
+        return pa.table({id_col: pa.array(out, pa.int64())})
+
+    hits_t = collect_table(
+        edges.map_batches(cross_side_new_ids, batch_format="pyarrow")
+    )
+    ids_only = new_ds.select_columns([id_col])
+    if hits_t.num_rows == 0:
+        return ids_only
+    return semi_filter(
+        ids_only, id_col, pc.unique(hits_t[id_col]), invert=True
+    )

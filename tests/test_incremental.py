@@ -97,3 +97,78 @@ def test_overlap_key_values_both_regimes(monkeypatch):
     )
     b2 = rd.from_arrow(pa.table({"k": pa.array(["r"])}))
     assert len(I.overlap_key_values(a2, b2, "k")) == 0
+
+
+class TestNearDedupAgainstIndex:
+    @pytest.fixture(scope="class")
+    def near_corpora(self):
+        import random
+
+        rng = random.Random(7)
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+        def doc(k=80):
+            return " ".join(rng.choice(words) for _ in range(k))
+
+        idx = [(2 * i, doc()) for i in range(40)]
+        new = [(2 * i + 1, doc()) for i in range(40)]
+        # near-dup injections: verbatim copy and a light edit of index docs
+        new[3] = (7, idx[5][1])
+        new[8] = (17, idx[9][1] + " tail")
+        return idx, new
+
+    def _oracle_survivors(self, idx, new):
+        con = duckdb.connect()
+        con.register(
+            "docs",
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r[0] for r in idx + new], pa.int64()
+                    ),
+                    "text": pa.array([r[1] for r in idx + new]),
+                }
+            ),
+        )
+        sql = r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM docs
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+          FROM norm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+          WHERE strlen(t) >= 5
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_n, b.doc_id AS id_i, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY 1, 2
+        ),
+        hits AS (
+          SELECT DISTINCT id_n
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = inter.id_n
+          JOIN sizes sb ON sb.doc_id = inter.id_i
+          WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+        )
+        SELECT doc_id FROM docs
+        WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_n FROM hits)
+        """
+        return {r[0] for r in con.execute(sql).fetchall()}
+
+    def test_matches_exact_jaccard_oracle(self, near_corpora):
+        idx, new = near_corpora
+        expect = self._oracle_survivors(idx, new)
+        assert 7 not in expect and 17 not in expect  # injections are live
+        got = I.near_dedup_against_index(_ds(new), _ds(idx))
+        assert {r["doc_id"] for r in got.take_all()} == expect
+
+    def test_index_only_dups_do_not_flag(self):
+        # two identical INDEX docs must not remove any new doc
+        idx = [(0, "the quick brown fox jumps over the dog"), (2, "the quick brown fox jumps over the dog")]
+        new = [(1, "completely different text body here indeed")]
+        got = I.near_dedup_against_index(_ds(new), _ds(idx))
+        assert {r["doc_id"] for r in got.take_all()} == {1}
