@@ -482,3 +482,57 @@ def contaminated_docs(sf_dir: str):
     return decontam.contaminated_ids(
         train, bench, id_col="doc_id", text_col="text", n=3
     )
+
+
+@query(
+    "repetition_scores",
+    # Gopher repetition rules (Rae et al. 2021 A1.1, token-count
+    # variant): per doc, the duplicated-2-gram occurrence fraction and
+    # the top-2-gram occurrence share. Single exact-int division per
+    # value on both sides -> bit-identical doubles (the quality_scores
+    # technique). Docs with <2 tokens have no 2-grams and no row.
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{A.WS_TOKEN_RE}') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g2
+      FROM toks, UNNEST(generate_series(1, greatest(len(tk)-1, 0))) AS u(i)
+    ),
+    c AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             sum(c) AS tot,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+             max(c) AS mx
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           dup / tot AS dup_2gram_frac,
+           mx / tot AS top_2gram_frac
+    FROM agg
+    """,
+)
+def repetition_scores(sf_dir: str):
+    """Per-doc Gopher repetition signals (stages/textstats.py
+    repetition_features — factorize-code exact counting, no hashing)."""
+    from doppel_ray.stages import textstats
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = textstats.add_repetition_columns(ds, n=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["has_ngrams"])
+        return t.select(["doc_id", "dup_2gram_frac", "top_2gram_frac"])
+
+    return finalize(
+        out.map_batches(project, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("dup_2gram_frac", pa.float64()),
+                ("top_2gram_frac", pa.float64()),
+            ]
+        ),
+    )

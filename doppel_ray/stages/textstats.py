@@ -60,3 +60,94 @@ def add_fingerprints(
         return batch.append_column(out_col, pa.array(fp, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def repetition_features(
+    texts: pa.Array | pa.ChunkedArray, n: int = 2
+) -> dict[str, np.ndarray]:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition rules, token-count variant):
+
+    * ``dup_{n}gram_frac`` — fraction of the doc's n-gram occurrences
+      whose n-gram appears more than once in the doc;
+    * ``top_{n}gram_frac`` — occurrence share of the most frequent
+      n-gram.
+
+    Fully vectorized and EXACT: token ids come from one ``pd.factorize``
+    pass (no hashing, so no collision caveat — per-doc n-gram identity
+    is the integer code tuple), occurrence counting is one sort-based
+    ``np.unique`` over (doc, gram-key) pairs, and per-doc aggregation is
+    bincount / segment-reduce. Docs with fewer than ``n`` tokens have no
+    n-grams: mask=False, fractions 0 (the SQL oracle emits no row for
+    them — callers filter on ``has_ngrams``).
+    """
+    from doppel_ray.stages.decontam import _flat_tokens
+
+    flat, counts = _flat_tokens(texts)
+    ndocs = len(counts)
+    out = {
+        f"dup_{n}gram_frac": np.zeros(ndocs),
+        f"top_{n}gram_frac": np.zeros(ndocs),
+        "has_ngrams": np.zeros(ndocs, dtype=bool),
+    }
+    total = len(flat)
+    if total < n:
+        return out
+    import pandas as pd
+
+    codes, uniq = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    V = np.int64(len(uniq))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    m = total - n + 1
+    # exact n-gram key: base-V positional code (int64; V^n * ndocs can
+    # overflow for huge vocab x n — guard with the pair-struct fallback)
+    valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+    win_doc = doc_idx[:m][valid]
+    if not len(win_doc):
+        return out
+    fits = V > 0 and float(V) ** n < 2**62
+    if fits:
+        key = codes[:m].copy()
+        for j in range(1, n):
+            key = key * V + codes[j : m + j]
+        key = key[valid]
+        pairs = np.empty(len(key), dtype=[("d", "i8"), ("g", "i8")])
+        pairs["d"], pairs["g"] = win_doc, key
+    else:  # exact fallback: struct of raw code columns
+        fields = [("d", "i8")] + [(f"c{j}", "i8") for j in range(n)]
+        pairs = np.empty(len(win_doc), dtype=fields)
+        pairs["d"] = win_doc
+        for j in range(n):
+            pairs[f"c{j}"] = codes[j : m + j][valid]
+    uq, cnt = np.unique(pairs, return_counts=True)
+    d = uq["d"]
+    tot = np.bincount(win_doc, minlength=ndocs).astype(np.float64)
+    dup = np.bincount(d, weights=cnt * (cnt > 1), minlength=ndocs)
+    # segment max of cnt per doc (uq is sorted with d as primary key)
+    seg_starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    mx_per_seg = np.maximum.reduceat(cnt, seg_starts)
+    mx = np.zeros(ndocs)
+    mx[d[seg_starts]] = mx_per_seg
+    has = tot > 0
+    safe_tot = np.where(has, tot, 1.0)
+    out[f"dup_{n}gram_frac"] = dup / safe_tot
+    out[f"top_{n}gram_frac"] = mx / safe_tot
+    out["has_ngrams"] = has
+    return out
+
+
+def add_repetition_columns(
+    ds: Dataset, text_col: str = "text", n: int = 2, batch_size: int = 4096
+) -> Dataset:
+    """Append the Gopher repetition-signal columns (one map_batches)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        feats = repetition_features(batch[text_col], n=n)
+        for name, arr in feats.items():
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+            batch = batch.append_column(name, pa.array(arr))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

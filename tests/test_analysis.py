@@ -124,3 +124,68 @@ class TestStages:
         out = textstats.add_fingerprints(textstats.add_lang_id(ds)).take_all()
         assert out[0]["lang_pred"] == "en"
         assert isinstance(out[0]["fingerprint"], int)
+
+
+class TestRepetitionFeatures:
+    def _brute(self, text, n=2):
+        import re
+        from collections import Counter
+
+        tk = re.findall(r"\S+", text)
+        grams = [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        if not grams:
+            return None
+        c = Counter(grams)
+        tot = len(grams)
+        return (
+            sum(v for v in c.values() if v > 1) / tot,
+            max(c.values()) / tot,
+        )
+
+    def test_matches_bruteforce(self):
+        texts = [
+            "a b a b c",
+            "q q q q",
+            "all unique words here now",
+            "x",          # 1 token: no 2-grams
+            "",           # empty
+            "  spaced   out   tokens  spaced   out  ",
+            "repeat me repeat me repeat me",
+        ]
+        f = textstats.repetition_features(
+            pa.chunked_array([pa.array(texts)]), n=2
+        )
+        for i, t in enumerate(texts):
+            want = self._brute(t)
+            if want is None:
+                assert not f["has_ngrams"][i]
+                assert f["dup_2gram_frac"][i] == 0.0
+                assert f["top_2gram_frac"][i] == 0.0
+            else:
+                assert f["has_ngrams"][i]
+                assert f["dup_2gram_frac"][i] == want[0]
+                assert f["top_2gram_frac"][i] == want[1]
+
+    def test_trigrams(self):
+        texts = ["a b c a b c a b c", "d e f g", "z z"]
+        f3 = textstats.repetition_features(
+            pa.chunked_array([pa.array(texts)]), n=3
+        )
+        for i, t in enumerate(texts):
+            want = self._brute(t, n=3)
+            if want is None:
+                assert not f3["has_ngrams"][i]
+            else:
+                assert f3["dup_3gram_frac"][i] == want[0]
+                assert f3["top_3gram_frac"][i] == want[1]
+
+    def test_struct_fallback_regime(self):
+        """When V**n overflows int64 the kernel switches to the struct
+        key; an n/vocab combination past the guard (7**80 >> 2**62) must
+        still match brute force exactly."""
+        long_doc = " ".join("t%d" % (i % 7) for i in range(200))
+        arr = pa.chunked_array([pa.array([long_doc])])
+        f = textstats.repetition_features(arr, n=80)
+        want = self._brute(long_doc, n=80)
+        assert f["dup_80gram_frac"][0] == want[0]
+        assert f["top_80gram_frac"][0] == want[1]
