@@ -157,6 +157,45 @@ def _query_specs(limit: int | None = None) -> dict:
         edges = minhash.near_dup_edges(read_pages(bench_dir), mh_cfg)
         return len(cluster_mod.cluster_edges(edges))
 
+    def q_decontam_pages():
+        # benchmark side = first 2k pages of the same corpus (a real
+        # eval suite is this size); training side = all pages
+        from doppel_ray.stages import decontam
+
+        ds = read_pages(bench_dir)
+        bench = ds.limit(2000).materialize()
+        return decontam.decontaminate(ds, bench, n=8).count()
+
+    def q_incremental_pages():
+        # even/odd row split of the corpus plays index vs new batch
+        import numpy as np
+        import pyarrow as pa
+
+        from doppel_ray.functions.hashing import sip64
+        from doppel_ray.stages import incremental
+
+        def add_id(batch):
+            ids = sip64(batch["url"].to_pandas()).astype(np.int64)
+            return batch.append_column("doc_id", pa.array(ids))
+
+        ds = read_pages(bench_dir).map_batches(
+            add_id, batch_format="pyarrow"
+        ).materialize()
+
+        def side(parity):
+            import pyarrow.compute as pc
+
+            def fn(b):
+                return b.filter(
+                    pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity)
+                )
+
+            return fn
+
+        new_ds = ds.map_batches(side(1), batch_format="pyarrow")
+        idx_ds = ds.map_batches(side(0), batch_format="pyarrow")
+        return incremental.dedup_against_index(new_ds, idx_ds).count()
+
     specs = {}
     if not SCALE_MODE:
         specs.update(
@@ -165,6 +204,8 @@ def _query_specs(limit: int | None = None) -> dict:
                 "near_documents": q_near_documents,
                 "simhash_pages": q_simhash_pages,
                 "containment_documents": q_containment_documents,
+                "decontam_pages": q_decontam_pages,
+                "incremental_pages": q_incremental_pages,
             }
         )
     specs["exact_pages"] = q_exact_pages
@@ -275,6 +316,8 @@ def _query_specs_names() -> list[str]:
             "near_documents",
             "simhash_pages",
             "containment_documents",
+            "decontam_pages",
+            "incremental_pages",
         ]
     return names + ["exact_pages", "near_pages"]
 
