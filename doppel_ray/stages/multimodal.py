@@ -204,6 +204,127 @@ def decode_resize_featurize(
     )
 
 
+_MAGIC_V = b"RAWV"
+
+
+def fake_video_bytes(
+    n_frames: int, height: int, width: int, channels: int = 3, seed: int = 0
+) -> bytes:
+    """Deterministic synthetic 'encoded video': RAWV header + seeded
+    uint8 frame stack. Stands in for MP4/WebM payloads in tests."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(
+        0, 256, size=(n_frames, height, width, channels), dtype=np.uint8
+    )
+    return (
+        _MAGIC_V
+        + struct.pack("<IIII", n_frames, height, width, channels)
+        + frames.tobytes()
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage: binary video column -> one row
+    per sampled frame, in the DECODED image layout (pixels/height/width/
+    channels + frame_idx/n_frames), so ``ImageResizer``/``ImageFeatures``
+    chain directly onto the output.
+
+    Sampling policy: ``num_frames`` uniformly-spaced frame indices
+    (first frame always included; fewer if the video is shorter), or
+    ``every``-th frame when set. Real codecs would slot into
+    ``_decode_header``/``_frame`` exactly like ``ImageDecoder``'s PIL
+    path; absent codecs the deterministic RAWV format decodes (fallback
+    'rawi'-style contract) and ``fallback='error'`` raises the mandated
+    NotImplementedError.
+
+    Scale: one video row expands to ``num_frames`` frame rows — batch
+    bytes grow by that factor, so size ``batch_size`` to
+    payload x num_frames x concurrency (module docstring guidance).
+    """
+
+    def __init__(
+        self,
+        in_col: str = "video",
+        num_frames: int = 8,
+        every: int | None = None,
+        fallback: str = "rawv",
+    ):
+        if fallback == "error":
+            raise NotImplementedError(
+                "no video codec available in this container; use the "
+                "deterministic RAWV fallback or install a codec"
+            )
+        self.in_col = in_col
+        self.num_frames = num_frames
+        self.every = every
+
+    def _indices(self, n: int) -> np.ndarray:
+        if self.every is not None:
+            return np.arange(0, n, self.every, dtype=np.int64)
+        k = min(self.num_frames, n)
+        return np.unique(np.linspace(0, n - 1, k).astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep_cols = [c for c in batch.column_names if c != self.in_col]
+        rep_idx: list[int] = []
+        pixels, fidx, nf, hs, ws, cs = [], [], [], [], [], []
+        for row, buf in enumerate(batch[self.in_col].to_pylist()):
+            if buf[:4] != _MAGIC_V:
+                raise ValueError("not a RAWV payload")
+            n, h, w, c = struct.unpack("<IIII", buf[4:20])
+            frame_bytes = h * w * c
+            for i in self._indices(n):
+                off = 20 + int(i) * frame_bytes
+                pixels.append(buf[off : off + frame_bytes])
+                fidx.append(int(i))
+                nf.append(n)
+                hs.append(h)
+                ws.append(w)
+                cs.append(c)
+                rep_idx.append(row)
+        out = batch.select(keep_cols).take(pa.array(rep_idx, type=pa.int64()))
+        return (
+            out.append_column("pixels", pa.array(pixels, type=pa.large_binary()))
+            .append_column("frame_idx", pa.array(fidx, type=pa.int64()))
+            .append_column("n_frames", pa.array(nf, type=pa.int64()))
+            .append_column("height", pa.array(hs, type=pa.int64()))
+            .append_column("width", pa.array(ws, type=pa.int64()))
+            .append_column("channels", pa.array(cs, type=pa.int64()))
+        )
+
+
+def sample_frames_featurize(
+    ds: Dataset,
+    cfg: MediaPipelineConfig | None = None,
+    *,
+    in_col: str = "video",
+    num_frames: int = 8,
+) -> Dataset:
+    """encoded videos -> sampled frames -> resized -> per-frame feature
+    vectors; every step an actor-pool ``map_batches``."""
+    cfg = cfg or MediaPipelineConfig()
+    frames = ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"in_col": in_col, "num_frames": num_frames},
+        batch_format="pyarrow",
+        batch_size=max(1, cfg.batch_size // num_frames),
+        concurrency=cfg.concurrency,
+    )
+    resized = frames.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_h": cfg.out_h, "out_w": cfg.out_w},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.concurrency,
+    )
+    return resized.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.concurrency,
+    )
+
+
 def exact_dup_media(ds: Dataset, payload_col: str = "image") -> Dataset:
     """Byte-identical media dedup: content-hash the binary payload and
     group — the reference's full-hash semantics applied to an opaque

@@ -86,3 +86,76 @@ class TestMediaDedup:
         out = M.exact_dup_media(rd.from_arrow(t)).take_all()
         ids = sorted(r["media_id"] for r in out)
         assert ids == ["m0", "m1", "m3", "m4"]
+
+
+class TestVideoFrameSampling:
+    def _videos(self, specs):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array([s[0] for s in specs]),
+                    "video": pa.array(
+                        [
+                            M.fake_video_bytes(n, h, w, 3, seed=i)
+                            for i, (_, n, h, w) in enumerate(specs)
+                        ],
+                        type=pa.large_binary(),
+                    ),
+                }
+            )
+        )
+
+    def test_uniform_sampling_rows_and_indices(self):
+        ds = self._videos([("v0", 20, 8, 8), ("v1", 3, 4, 6), ("v2", 1, 4, 4)])
+        out = ds.map_batches(
+            M.VideoFrameSampler,
+            fn_constructor_kwargs={"num_frames": 4},
+            batch_format="pyarrow",
+            concurrency=2,
+        ).take_all()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+        # 20 frames -> 4 uniform indices incl. first and last
+        assert sorted(by_id["v0"]) == [0, 6, 12, 19]
+        # shorter than num_frames -> every frame once
+        assert sorted(by_id["v1"]) == [0, 1, 2]
+        assert sorted(by_id["v2"]) == [0]
+
+    def test_every_kth_and_frame_bytes(self):
+        import numpy as np
+
+        specs = [("v0", 10, 6, 5)]
+        ds = self._videos(specs)
+        out = ds.map_batches(
+            M.VideoFrameSampler,
+            fn_constructor_kwargs={"every": 3},
+            batch_format="pyarrow",
+            concurrency=2,
+        ).take_all()
+        assert sorted(r["frame_idx"] for r in out) == [0, 3, 6, 9]
+        # frame pixel payload must match the encoded frame exactly
+        buf = M.fake_video_bytes(10, 6, 5, 3, seed=0)
+        frames = np.frombuffer(buf[20:], dtype=np.uint8).reshape(10, 6, 5, 3)
+        for r in out:
+            got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(6, 5, 3)
+            assert (got == frames[r["frame_idx"]]).all()
+
+    def test_chains_into_resize_and_features(self):
+        ds = self._videos([("v0", 6, 12, 10), ("v1", 2, 8, 8)])
+        out = M.sample_frames_featurize(
+            ds, M.MediaPipelineConfig(batch_size=8, concurrency=2, out_h=4, out_w=4),
+            num_frames=3,
+        ).take_all()
+        assert len(out) == 3 + 2
+        for r in out:
+            assert r["height"] == 4 and r["width"] == 4
+            assert len(r["feat"]) == 3 + 3 + 8  # mean, std, hist bins
+
+    def test_error_fallback_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            M.VideoFrameSampler(fallback="error")
