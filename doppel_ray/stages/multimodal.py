@@ -325,6 +325,85 @@ def sample_frames_featurize(
     )
 
 
+_MAGIC_A = b"RAWA"
+
+
+def fake_audio_bytes(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
+    """Deterministic synthetic 'encoded audio': RAWA header + seeded
+    int16 PCM samples. Stands in for WAV/FLAC payloads in tests."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(2**15), 2**15, size=n_samples, dtype=np.int16)
+    return _MAGIC_A + struct.pack("<II", n_samples, sample_rate) + pcm.tobytes()
+
+
+def encode_audio_pcm(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Wrap an int16 PCM array in the RAWA container (test signals)."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    return _MAGIC_A + struct.pack("<II", len(pcm), sample_rate) + pcm.tobytes()
+
+
+class AudioFeatures:
+    """Actor-pool audio featurizer: binary audio column -> windowed RMS
+    energy + zero-crossing-rate features (real numpy over decoded PCM) +
+    duration/sample-rate metadata.
+
+    The decode is the deterministic RAWA container (real codecs slot in
+    exactly like ``ImageDecoder``'s PIL path; ``fallback='error'``
+    raises the mandated NotImplementedError). Feature layout:
+    ``feat = [rms_0..rms_{k-1}, zcr_0..zcr_{k-1}]`` over ``n_windows``
+    equal time slices (RMS normalized to [0,1], ZCR = sign-change
+    fraction per window).
+    """
+
+    def __init__(
+        self, in_col: str = "audio", n_windows: int = 16, fallback: str = "rawa"
+    ):
+        if fallback == "error":
+            raise NotImplementedError(
+                "no audio codec available in this container; use the "
+                "deterministic RAWA fallback or install a codec"
+            )
+        self.in_col = in_col
+        self.n_windows = n_windows
+
+    def _features(self, pcm: np.ndarray) -> np.ndarray:
+        k = self.n_windows
+        x = pcm.astype(np.float64) / 2**15
+        n = len(x)
+        if n == 0:
+            return np.zeros(2 * k, dtype=np.float32)
+        bounds = (np.arange(k + 1) * n) // k
+        rms = np.empty(k)
+        zcr = np.empty(k)
+        sign = np.signbit(x)
+        for i in range(k):
+            lo, hi = bounds[i], max(bounds[i + 1], bounds[i] + 1)
+            seg = x[lo:hi]
+            rms[i] = np.sqrt(np.mean(seg * seg))
+            zcr[i] = (
+                np.count_nonzero(sign[lo + 1 : hi] != sign[lo : hi - 1])
+                / max(1, hi - lo - 1)
+            )
+        return np.concatenate([rms, zcr]).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, durs, rates = [], [], []
+        for buf in batch[self.in_col].to_pylist():
+            if buf[:4] != _MAGIC_A:
+                raise ValueError("not a RAWA payload")
+            n, sr = struct.unpack("<II", buf[4:12])
+            pcm = np.frombuffer(buf, dtype=np.int16, offset=12, count=n)
+            feats.append(self._features(pcm).tolist())
+            durs.append(n / sr)
+            rates.append(sr)
+        out = batch.drop_columns([self.in_col])
+        return (
+            out.append_column("feat", pa.array(feats, type=pa.list_(pa.float32())))
+            .append_column("duration_s", pa.array(durs, type=pa.float64()))
+            .append_column("sample_rate", pa.array(rates, type=pa.int64()))
+        )
+
+
 def exact_dup_media(ds: Dataset, payload_col: str = "image") -> Dataset:
     """Byte-identical media dedup: content-hash the binary payload and
     group — the reference's full-hash semantics applied to an opaque

@@ -159,3 +159,55 @@ class TestVideoFrameSampling:
 
         with _pytest.raises(NotImplementedError):
             M.VideoFrameSampler(fallback="error")
+
+
+class TestAudioFeatures:
+    def test_known_signals(self):
+        import ray.data as rd
+
+        sr = 16000
+        silence = np.zeros(sr, dtype=np.int16)
+        # constant positive signal: zero RMS? no - rms=const, zcr=0
+        const = np.full(sr, 1000, dtype=np.int16)
+        # alternating sign every sample: zcr ~= 1
+        alt = np.tile(np.array([2000, -2000], dtype=np.int16), sr // 2)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(["sil", "const", "alt"]),
+                    "audio": pa.array(
+                        [
+                            M.encode_audio_pcm(silence, sr),
+                            M.encode_audio_pcm(const, sr),
+                            M.encode_audio_pcm(alt, sr),
+                        ],
+                        type=pa.large_binary(),
+                    ),
+                }
+            )
+        )
+        out = {
+            r["media_id"]: r
+            for r in ds.map_batches(
+                M.AudioFeatures,
+                fn_constructor_kwargs={"n_windows": 4},
+                batch_format="pyarrow",
+                concurrency=2,
+            ).take_all()
+        }
+        for r in out.values():
+            assert len(r["feat"]) == 8
+            assert r["duration_s"] == 1.0 and r["sample_rate"] == sr
+        f_sil, f_const, f_alt = out["sil"]["feat"], out["const"]["feat"], out["alt"]["feat"]
+        assert all(v == 0.0 for v in f_sil)                 # silent: rms=zcr=0
+        assert all(v > 0 for v in f_const[:4])              # constant: rms>0
+        assert all(v == 0.0 for v in f_const[4:])           # constant: zcr=0
+        assert all(v > 0.99 for v in f_alt[4:])             # alternating: zcr~1
+
+    def test_deterministic_and_error_fallback(self):
+        import pytest as _pytest
+
+        buf = M.fake_audio_bytes(1234, 8000, seed=3)
+        assert buf == M.fake_audio_bytes(1234, 8000, seed=3)
+        with _pytest.raises(NotImplementedError):
+            M.AudioFeatures(fallback="error")
