@@ -312,3 +312,56 @@ def event_type_stats(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "nation_order_stats",
+    # Plain large-x-large equi-join (stages/joins.py hash_join: ONE
+    # bucketed shuffle of the tagged union, per-bucket pandas merge) +
+    # grouped aggregate. Only order-independent aggregates (count, max)
+    # are compared — a float SUM would hash-mismatch on summation order.
+    """
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           max(o.o_totalprice) AS max_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def nation_order_stats(sf_dir: str):
+    """TPC-H-style customer x orders join rolled up per nation."""
+    from doppel_ray.sources.parquet import read_table
+    from doppel_ray.stages.joins import hash_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        cust,
+        orders,
+        on="c_custkey",
+        left_cols=["c_nationkey"],
+        right_cols=["o_totalprice"],
+    )
+    out = (
+        joined.groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+        .rename_columns({"c_nationkey": "nationkey"})
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("nationkey", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("max_price", pa.float64()),
+            ]
+        ),
+    )

@@ -105,3 +105,12 @@ def read_events(sf_dir: str, *, columns: list[str] | None = None) -> Dataset:
     return rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=columns
     )
+
+
+def read_table(
+    sf_dir: str, table: str, *, columns: list[str] | None = None
+) -> Dataset:
+    """Any driver-provided TESTDATA.md table by name (column-pruned)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )

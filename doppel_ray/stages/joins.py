@@ -235,3 +235,74 @@ def range_join(
         )
 
     return bucketed_group_apply(union, by, per_bucket, num_buckets=num_buckets)
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> Dataset:
+    """Plain equi-join on ``on`` (Ray Data has no native Dataset.join):
+    ONE bucketed shuffle of the tagged union co-locates both sides of
+    every key, then a pandas merge resolves each bucket at C speed.
+
+    ``how`` is 'inner' or 'left'. Payload columns must not collide
+    (rename first). Unlike the dedup stages, a general join must move
+    both payloads through the exchange — when one side is small, prefer
+    the broadcast semi-join (``exact.semi_filter``) or pre-aggregate;
+    this operator is for the genuinely large-x-large case. Skewed keys
+    cost time, not correctness (one bucket per worker heap, the module's
+    standing partitioning assumption).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    fields = [(on, _arrow_type(left, on)), (_SIDE_COL, pa.int8())]
+    fields += [(c, _arrow_type(left, c)) for c in left_cols]
+    fields += [(c, _arrow_type(right, c)) for c in right_cols]
+    union_schema = pa.schema(fields)
+
+    def conform(side: int, own_cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = []
+            for f in union_schema:
+                if f.name == _SIDE_COL:
+                    arrays.append(pa.array([side] * n, type=pa.int8()))
+                elif f.name == on or f.name in own_cols:
+                    arrays.append(batch[f.name].cast(f.type))
+                else:
+                    arrays.append(pa.nulls(n, type=f.type))
+            return pa.table(dict(zip(union_schema.names, arrays)))
+
+        return fn
+
+    union = left.map_batches(
+        conform(0, left_cols), batch_format="pyarrow"
+    ).union(right.map_batches(conform(1, right_cols), batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [union_schema.field(on)]
+        + [union_schema.field(c) for c in left_cols]
+        + [union_schema.field(c) for c in right_cols]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = g.to_pandas()
+        side = df[_SIDE_COL].to_numpy()
+        ldf = df.loc[side == 0, [on, *left_cols]]
+        rdf = df.loc[side == 1, [on, *right_cols]]
+        if ldf.empty or (rdf.empty and how == "inner"):
+            return out_schema.empty_table()
+        merged = ldf.merge(rdf, on=on, how=how)
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            out_schema
+        )
+
+    return bucketed_group_apply(union, on, per_bucket, num_buckets=num_buckets)

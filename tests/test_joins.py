@@ -162,3 +162,79 @@ class TestRangeJoin:
             num_buckets=2,
         ).take_all()
         assert [r["rid"] for r in got] == [1]
+
+
+class TestHashJoin:
+    def _sides(self):
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+                    "lv": pa.array(["a", "b", "c", "d", "e"]),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 2, 4], pa.int64()),
+                    "rv": pa.array([10, 20, 21, 40], pa.int64()),
+                }
+            )
+        )
+        return left, right
+
+    def _brute(self, how):
+        import pandas as pd
+
+        l = pd.DataFrame({"k": [1, 1, 2, 3, 5], "lv": list("abcde")})
+        r = pd.DataFrame({"k": [1, 2, 2, 4], "rv": [10, 20, 21, 40]})
+        return l.merge(r, on="k", how=how)
+
+    def test_inner_matches_pandas(self):
+        from doppel_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        got = hash_join(
+            left, right, on="k", left_cols=["lv"], right_cols=["rv"]
+        ).take_all()
+        want = self._brute("inner")
+        assert sorted((r["k"], r["lv"], r["rv"]) for r in got) == sorted(
+            map(tuple, want.values.tolist())
+        )
+
+    def test_left_keeps_unmatched(self):
+        from doppel_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        got = hash_join(
+            left, right, on="k", left_cols=["lv"], right_cols=["rv"], how="left"
+        ).take_all()
+        rows = sorted((r["k"], r["lv"], r["rv"]) for r in got)
+        assert (3, "d", None) in rows and (5, "e", None) in rows
+        assert len(rows) == len(self._brute("left"))
+
+    def test_empty_right_inner(self):
+        import ray.data as rd
+
+        from doppel_ray.stages.joins import hash_join
+
+        left, _ = self._sides()
+        right = rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+        )
+        got = hash_join(
+            left, right, on="k", left_cols=["lv"], right_cols=["rv"]
+        )
+        assert got.count() == 0
+
+    def test_bad_how_raises(self):
+        import pytest
+
+        from doppel_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        with pytest.raises(ValueError):
+            hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"], how="outer")
