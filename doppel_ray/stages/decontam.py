@@ -138,7 +138,9 @@ class _NgramMatcher:
         self.ref, self.text_col, self.n = ref, text_col, n
 
     def doc_mask(self, batch: pa.Table) -> np.ndarray:
-        hashes, grams = ray.get(self.ref)
+        from doppel_ray.stages.util import cached_get
+
+        hashes, grams = cached_get(self.ref)
         nrows = batch.num_rows
         mask = np.zeros(nrows, dtype=bool)
         if len(hashes) == 0 or nrows == 0:

@@ -233,7 +233,9 @@ def _probe_scan(ds: Dataset, probes: list, cfg: ContainmentConfig) -> Dataset:
     sa_min = cfg.sa_min_probes
 
     def scan(batch: pa.Table) -> pa.Table:
-        pr = ray.get(ref)
+        from doppel_ray.stages.util import cached_get
+
+        pr = cached_get(ref)
         if not pr or batch.num_rows == 0:
             return _PAIRS_SCHEMA.empty_table()
         docs = _doc_bytes(batch["text"], cfg)
@@ -367,7 +369,9 @@ def _verify_pairs(ds: Dataset, pairs: Dataset, cfg: ContainmentConfig) -> Datase
     ref = ray.put(texts)
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
+        from doppel_ray.stages.util import cached_get
+
+        lookup = cached_get(ref)
         ua, ub, sa_, sb = [], [], [], []
         for x, y in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()):
             ta, tb = lookup.get(x), lookup.get(y)

@@ -3,6 +3,8 @@ stage module — keeps ``exact``/``minhash``/``cluster`` import-acyclic)."""
 
 from __future__ import annotations
 
+import functools
+
 import pyarrow as pa
 from ray.data import Dataset
 
@@ -45,3 +47,20 @@ def from_arrow_blocks(table: pa.Table, n_blocks: int) -> Dataset:
         return ray.data.from_arrow(table)
     slices = [table.slice(i, step) for i in range(0, n, step)]
     return ray.data.from_arrow(slices)
+
+
+def cached_get(ref):
+    """Per-worker-process cached ``ray.get`` for broadcast Python objects
+    (dicts/sets/lists): plasma re-DESERIALIZES pickled objects on every
+    get — only raw numpy/Arrow buffers are zero-copy — so a per-batch
+    ``ray.get`` of a large lookup dict pays the unpickle each batch.
+    One fetch per worker process instead (the ann.py ``_planes`` idiom).
+    """
+    return _cached_get(ref)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_get(ref):
+    import ray
+
+    return ray.get(ref)
