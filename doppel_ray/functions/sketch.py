@@ -1,0 +1,72 @@
+"""HyperLogLog distinct-count sketch (Flajolet-Fuchs-Gandouet-Meunier
+2007, with the small-range linear-counting correction) — the "novel
+sketch" custom-operator slot of the build brief.
+
+Why a sketch at 100 TB: COUNT(DISTINCT text) exactly requires an
+all-to-all shuffle of every key; the HLL register array is 2^p bytes
+(16 KiB at p=14, ~0.8% relative error), each block folds its rows into
+registers locally, and the merge is an elementwise max — associative,
+commutative, driver-trivial. Distinct-count ACCURACY is pinned by tests
+(tests/test_sketch.py), not a SQL oracle — approximate by design, like
+``ivf_topk``.
+
+All register math is vectorized numpy over 64-bit sip hashes. The
+leading-zero rank uses float64 log2, exact because the remaining
+(64-p)-bit suffix is < 2^53 for p >= 11 (doc'd guard below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from doppel_ray.functions.hashing import sip64
+
+
+def empty_registers(p: int = 14) -> np.ndarray:
+    if not 11 <= p <= 18:
+        # p >= 11 keeps the (64-p)-bit suffix < 2^53 (exact in float64);
+        # p <= 18 bounds the register array (256 KiB)
+        raise ValueError("p must be in [11, 18]")
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def add_hashes(reg: np.ndarray, h: np.ndarray, p: int = 14) -> np.ndarray:
+    """Fold uint64 hashes into the register array (in place, returned)."""
+    if len(h) == 0:
+        return reg
+    h = h.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)  # low 64-p suffix bits
+    # rho = leading-zero count of the (64-p)-bit suffix + 1
+    #     = (64 - p) - floor(log2(w)) for w > 0, else (64 - p) + 1
+    rho = np.empty(len(w), dtype=np.uint8)
+    nz = w > 0
+    rho[~nz] = 64 - p + 1
+    with np.errstate(divide="ignore"):
+        rho[nz] = (64 - p) - np.floor(np.log2(w[nz].astype(np.float64))).astype(
+            np.int64
+        )
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def add_values(reg: np.ndarray, values, p: int = 14) -> np.ndarray:
+    """Fold a string/bytes column (pandas Series / numpy / list)."""
+    return add_hashes(reg, sip64(pd.Series(values)), p=p)
+
+
+def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Associative, commutative register merge."""
+    return np.maximum(a, b)
+
+
+def estimate(reg: np.ndarray) -> float:
+    """Cardinality estimate with the standard small-range correction."""
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)  # the paper's alpha_m for m >= 128
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)  # linear counting
+    return float(est)

@@ -236,3 +236,17 @@ def incremental_dedup(sf_dir: str):
     return incremental.dedup_against_index(
         new_ds, index_ds, id_col="doc_id", text_col="text"
     )
+
+
+@query("approx_distinct_texts")  # rows-only: approximate by design (HLL)
+def approx_distinct_texts(sf_dir: str):
+    """Distributed HyperLogLog distinct-text count (stages/hashes.py
+    approx_distinct, p=14 ~ 0.8% error): the no-shuffle substitute for
+    COUNT(DISTINCT text) at corpus scale. Accuracy pinned in
+    tests/test_sketch.py; like ivf_topk, no SQL value-hash oracle."""
+    import pandas as pd
+
+    from doppel_ray.stages.hashes import approx_distinct
+
+    ds = read_documents(sf_dir, columns=["text"])
+    return pd.DataFrame({"approx_distinct": [round(approx_distinct(ds, "text"))]})

@@ -67,3 +67,30 @@ def add_content_hash(ds: Dataset, text_col: str = "text", out_col: str = "conten
         return _append(batch, out_col, pa.array(h, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def approx_distinct(ds, col: str, *, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col) via a distributed HyperLogLog:
+    each block folds its rows into a 2^p-byte register array inside
+    ``map_batches`` (one partial row per block), the driver max-merges
+    the partials — no all-to-all shuffle, ~0.8% relative error at p=14
+    (functions/sketch.py; accuracy pinned in tests/test_sketch.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from doppel_ray.functions import sketch as SK
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = SK.empty_registers(p)
+        SK.add_values(reg, batch[col].to_pandas(), p=p)
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.large_binary())})
+
+    merged = SK.empty_registers(p)
+    for b in (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for buf in b["reg"].to_pylist():
+            merged = SK.merge(merged, np.frombuffer(buf, dtype=np.uint8))
+    return SK.estimate(merged)

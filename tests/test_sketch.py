@@ -1,0 +1,67 @@
+"""HyperLogLog sketch: estimation accuracy, merge laws, distributed
+stage agreement with the exact distinct count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from doppel_ray.functions import sketch as SK
+
+
+class TestHLLKernel:
+    def test_accuracy_across_cardinalities(self):
+        for n in [100, 5_000, 100_000]:
+            reg = SK.empty_registers(14)
+            SK.add_values(reg, [f"value-{i}" for i in range(n)])
+            est = SK.estimate(reg)
+            # p=14 -> sigma ~ 1.04/sqrt(2^14) ~ 0.81%; allow 4 sigma
+            assert abs(est - n) / n < 0.033, (n, est)
+
+    def test_duplicates_do_not_inflate(self):
+        reg = SK.empty_registers(14)
+        vals = [f"v{i % 500}" for i in range(50_000)]
+        SK.add_values(reg, vals)
+        est = SK.estimate(reg)
+        assert abs(est - 500) / 500 < 0.05
+
+    def test_merge_equals_union_and_is_commutative(self):
+        a = SK.empty_registers(14)
+        b = SK.empty_registers(14)
+        SK.add_values(a, [f"a{i}" for i in range(3000)])
+        SK.add_values(b, [f"b{i}" for i in range(4000)])
+        both = SK.empty_registers(14)
+        SK.add_values(both, [f"a{i}" for i in range(3000)])
+        SK.add_values(both, [f"b{i}" for i in range(4000)])
+        m1 = SK.merge(a.copy(), b)
+        m2 = SK.merge(b.copy(), a)
+        assert (m1 == m2).all()
+        assert (m1 == both).all()  # merge == single-sketch union, exactly
+
+    def test_empty_and_bad_p(self):
+        assert SK.estimate(SK.empty_registers(14)) == 0.0
+        with pytest.raises(ValueError):
+            SK.empty_registers(8)
+
+
+class TestApproxDistinctStage:
+    def test_agrees_with_exact(self, ray_session):
+        import ray.data as rd
+
+        from doppel_ray.stages.hashes import approx_distinct
+
+        texts = [f"doc {i % 2000} body" for i in range(20_000)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
+        est = approx_distinct(ds, "text")
+        assert abs(est - 2000) / 2000 < 0.05
+
+    def test_block_layout_invariance(self, ray_session):
+        import ray.data as rd
+
+        from doppel_ray.stages.hashes import approx_distinct
+
+        t = pa.table({"text": pa.array([f"x{i}" for i in range(5000)])})
+        e1 = approx_distinct(rd.from_arrow(t), "text")
+        e4 = approx_distinct(rd.from_arrow(t).repartition(16), "text")
+        assert e1 == e4  # register max-merge is layout-independent
