@@ -70,3 +70,59 @@ def estimate(reg: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit sip hashes — the documented
+    drop-in for the broadcast dup-key set when distinct keys outgrow
+    driver memory (exact.py module scale note: ~10 bits/key vs 8 B/key,
+    an ~6x broadcast shrink with FP rate ~1%).
+
+    NO false negatives ever (a member always tests true), so it is safe
+    exactly where the dedup cascade uses key sets: a false positive lets
+    a non-duplicate row through to the next (exact) stage — extra work,
+    never a wrong answer. It must NOT back an anti-join that drops rows
+    terminally.
+
+    k index functions are derived from one 64-bit hash by the standard
+    double-hashing construction h1 + i*h2 (Kirsch-Mitzenmacher 2006),
+    vectorized over the whole key array.
+    """
+
+    def __init__(self, n_keys: int, bits_per_key: int = 10):
+        self.m = int(max(64, n_keys * bits_per_key))
+        self.k = max(1, round(0.693 * bits_per_key))  # ln2 * m/n
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64, copy=False)
+        h1 = h
+        with np.errstate(over="ignore"):
+            h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD) | np.uint64(1)
+            idx = (
+                h1[None, :] + np.arange(self.k, dtype=np.uint64)[:, None] * h2[None, :]
+            ) % np.uint64(self.m)
+        return idx  # shape (k, n)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def add_values(self, values) -> None:
+        self.add_hashes(sip64(pd.Series(values)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(h)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def contains_values(self, values) -> np.ndarray:
+        return self.contains_hashes(sip64(pd.Series(values)))

@@ -65,3 +65,55 @@ class TestApproxDistinctStage:
         e1 = approx_distinct(rd.from_arrow(t), "text")
         e4 = approx_distinct(rd.from_arrow(t).repartition(16), "text")
         assert e1 == e4  # register max-merge is layout-independent
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fp_rate(self):
+        keys = [f"key-{i}" for i in range(50_000)]
+        bf = SK.BloomFilter(len(keys), bits_per_key=10)
+        bf.add_values(keys)
+        assert bf.contains_values(keys).all()  # members ALWAYS hit
+        probe = [f"other-{i}" for i in range(50_000)]
+        fp = bf.contains_values(probe).mean()
+        assert fp < 0.03  # theory ~1% at 10 bits/key, k=7
+
+    def test_int_keys(self):
+        import pandas as pd
+
+        keys = pd.Series(np.arange(10_000, dtype=np.int64) * 7919)
+        bf = SK.BloomFilter(len(keys))
+        bf.add_values(keys)
+        assert bf.contains_values(keys).all()
+
+
+class TestBloomPrunePath:
+    def test_bloom_prune_equals_exact_groups(self, ray_session, monkeypatch):
+        """Force the Bloom regime: final duplicate groups must be
+        IDENTICAL to the exact-broadcast path (FPs are re-verified by
+        the group emission)."""
+        import ray.data as rd
+
+        from doppel_ray.stages import exact
+
+        texts = [f"unique doc {i}" for i in range(500)]
+        for i in range(0, 60, 3):
+            texts[i] = f"dup body {i % 5}"  # 5 groups of 4
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+        def groups():
+            ds = rd.from_arrow(t).repartition(8)
+            out = exact.exact_duplicate_groups(ds, id_col="doc_id").take_all()
+            return sorted(
+                (r["group_id"], r["count"], tuple(sorted(r["files"])))
+                for r in out
+            )
+
+        want = groups()
+        assert len(want) == 5  # fixture is live
+        monkeypatch.setattr(exact, "BLOOM_KEY_LIMIT", 0)
+        assert groups() == want
