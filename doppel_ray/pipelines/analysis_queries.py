@@ -536,3 +536,29 @@ def repetition_scores(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "lang_stratified_sample",
+    # per-stratum CASE over the same md5-low64 rule as doc_sample: the
+    # corpus-rebalancing primitive (downsample the dominant language,
+    # keep the rare ones whole) reproduced verbatim by SQL
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 <
+          CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 700 ELSE 1000 END
+    """,
+)
+def lang_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample (stages/sample.py
+    stratified_hash_sample): 30% of English, 70% of German, 100% of
+    everything else, keyed on doc_id."""
+    from doppel_ray.stages.sample import stratified_hash_sample
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang"])
+    out = stratified_hash_sample(
+        ds, "doc_id", "lang", {"en": 300, "de": 700}, default_num=1000
+    )
+    return finalize(
+        out, pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    )

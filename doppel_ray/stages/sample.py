@@ -83,3 +83,58 @@ def hash_split(
         hash_sample(ds, key_col, num=num, den=den, salt=salt),
         hash_sample(ds, key_col, num=num, den=den, salt=salt, invert=True),
     )
+
+
+def stratified_hash_sample(
+    ds: Dataset,
+    key_col: str,
+    stratum_col: str,
+    rates: dict,
+    *,
+    default_num: int = 0,
+    den: int = 1000,
+    salt: str = "",
+    method: str = "md5",
+) -> Dataset:
+    """Per-stratum deterministic hash sampling: keep a row when
+    ``hash64(str(key) + salt) % den < rates[stratum]`` (``default_num``
+    for strata not in ``rates``) — the corpus-rebalancing primitive
+    (e.g. keep 50% of high-resource-language docs, 100% of rare ones)
+    with the SAME guarantees as ``hash_sample``: no RNG, no shuffle,
+    identical rows at any cluster size or block layout, and an exact
+    DuckDB twin via CASE over ``md5_number_upper``.
+
+    The per-row num is a vectorized lookup (strata are categorical and
+    few); the hash pass is shared with the uniform sampler.
+    """
+    for num in rates.values():
+        assert 0 <= num <= den
+    assert 0 <= default_num <= den
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        col = batch[key_col]
+        if method == "sip64":
+            import pandas as pd
+
+            from doppel_ray.functions.hashing import sip64
+
+            keys = col.cast(pa.string()).to_pandas()
+            if salt:
+                keys = keys + salt
+            h = sip64(pd.Series(keys)) % np.uint64(den)
+        else:
+            keys = np.asarray(
+                [str(v) + salt for v in col.to_pylist()], dtype=object
+            )
+            h = md5_token_hash64(keys) % np.uint64(den)
+        strata = batch[stratum_col].to_pylist()
+        nums = np.fromiter(
+            (rates.get(s, default_num) for s in strata),
+            dtype=np.uint64,
+            count=len(strata),
+        )
+        return batch.filter(pa.array(h < nums))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

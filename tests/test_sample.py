@@ -83,3 +83,58 @@ class TestHashSample:
         }
         assert a == b and a.isdisjoint(c) and a | c == set(range(2000))
         assert 0.05 < len(a) / 2000 < 0.35
+
+
+class TestStratifiedSample:
+    def _ds(self):
+        import ray.data as rd
+
+        n = 2000
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "lang": pa.array(["en", "de", "fr", "ja"][i % 4] for i in range(n)),
+                }
+            )
+        )
+
+    def test_rates_and_subset_rule(self):
+        from doppel_ray.stages.sample import hash_sample, stratified_hash_sample
+
+        ds = self._ds()
+        out = stratified_hash_sample(
+            ds, "doc_id", "lang", {"en": 200, "de": 800}, default_num=1000
+        ).take_all()
+        by = {}
+        for r in out:
+            by.setdefault(r["lang"], set()).add(r["doc_id"])
+        # rare strata kept whole
+        assert len(by["fr"]) == 500 and len(by["ja"]) == 500
+        # downsampled strata approximate their rates (hash-uniformity)
+        assert 0.12 < len(by["en"]) / 500 < 0.28
+        assert 0.70 < len(by["de"]) / 500 < 0.90
+        # NESTING invariant of a shared hash rule: the num=200 sample is
+        # a subset of the num=800 sample for the same key/salt
+        assert by["en"] <= {
+            r["doc_id"]
+            for r in hash_sample(ds, "doc_id", num=800).take_all()
+        }
+
+    def test_determinism_across_layouts(self):
+        from doppel_ray.stages.sample import stratified_hash_sample
+
+        ds = self._ds()
+        a = {
+            r["doc_id"]
+            for r in stratified_hash_sample(
+                ds, "doc_id", "lang", {"en": 300}, default_num=500
+            ).take_all()
+        }
+        b = {
+            r["doc_id"]
+            for r in stratified_hash_sample(
+                ds.repartition(16), "doc_id", "lang", {"en": 300}, default_num=500
+            ).take_all()
+        }
+        assert a == b
