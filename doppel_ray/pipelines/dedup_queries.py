@@ -250,3 +250,38 @@ def approx_distinct_texts(sf_dir: str):
 
     ds = read_documents(sf_dir, columns=["text"])
     return pd.DataFrame({"approx_distinct": [round(approx_distinct(ds, "text"))]})
+
+
+@query(
+    "normalized_dedup",
+    # same normalization rule as the MinHash shingler (functions/text.py
+    # normalize_texts == lower + collapse-ws + trim), recomputed in SQL
+    r"""
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    """,
+)
+def normalized_dedup(sf_dir: str):
+    """Fuzzy-exact dedup: keep-first per NORMALIZED text (case /
+    whitespace-run / edge-space insensitive) — the standard cheap dedup
+    pass between exact and MinHash. Composition: normalize kernel ->
+    content hash -> groupby min id; normalized text is hashed, never
+    shuffled."""
+    from doppel_ray.functions.text import normalize_texts
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(
+                    normalize_texts(batch["text"]), type=pa.large_string()
+                ),
+            }
+        )
+
+    return exact.dedup_keep_first(
+        ds.map_batches(norm, batch_format="pyarrow"), id_col="doc_id"
+    )

@@ -143,3 +143,56 @@ class TestFromArrowBlocks:
         assert from_arrow_blocks(small, 64).num_blocks() == 1
         empty = pa.table({"x": pa.array([], type=pa.int64())})
         assert from_arrow_blocks(empty, 8).count() == 0
+
+
+def test_normalized_dedup_collapses_case_and_ws(ray_session):
+    """Non-vacuous gate for the normalized_dedup query semantics: case,
+    whitespace-run and edge-space variants of one text form ONE group."""
+    import duckdb
+    import ray.data as rd
+
+    from doppel_ray.functions.text import normalize_texts
+    from doppel_ray.stages import exact as X
+
+    texts = [
+        "The Quick  Brown fox",
+        "the quick brown fox",          # case + ws-run variant
+        "  the QUICK brown fox \n",     # edge-space + case variant
+        "a different document",
+        "A  DIFFERENT document",        # variant of the second group
+        "and a singleton",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(
+                    normalize_texts(batch["text"]), type=pa.large_string()
+                ),
+            }
+        )
+
+    got = sorted(
+        r["doc_id"]
+        for r in X.dedup_keep_first(
+            ds.map_batches(norm, batch_format="pyarrow"), id_col="doc_id"
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("docs", pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}))
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            r"SELECT min(doc_id) FROM docs GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+        ).fetchall()
+    )
+    assert got == want == [0, 3, 5]
