@@ -562,3 +562,40 @@ def lang_stratified_sample(sf_dir: str):
     return finalize(
         out, pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
     )
+
+
+@query(
+    "doc_chunks",
+    # context-window packing: non-overlapping 32-token windows; the
+    # chunk text rule (tokens re-joined with single spaces) is shared
+    # verbatim with stages/textstats.py chunk_documents
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{A.WS_TOKEN_RE}') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           (i - 1) // 32 AS chunk_idx,
+           least(i + 31, len(tk)) - i + 1 AS n_tokens,
+           array_to_string(tk[i:least(i + 31, len(tk))], ' ') AS chunk_text
+    FROM toks, UNNEST(generate_series(1, len(tk), 32)) AS u(i)
+    """,
+)
+def doc_chunks(sf_dir: str):
+    """Documents split into fixed 32-token training chunks
+    (stages/textstats.py chunk_documents — one map_batches row
+    expansion, no shuffle)."""
+    from doppel_ray.stages import textstats
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return finalize(
+        textstats.chunk_documents(ds, chunk_tokens=32),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("chunk_idx", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("chunk_text", pa.string()),
+            ]
+        ),
+    )

@@ -151,3 +151,75 @@ def add_repetition_columns(
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def chunk_documents(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    drop_final_partial: bool = False,
+) -> Dataset:
+    """Split documents into fixed-token-count training chunks (context-
+    window packing): one output row per window of ``chunk_tokens``
+    whitespace tokens, advancing by ``stride`` (default = chunk_tokens,
+    i.e. non-overlapping). The final short window is kept unless
+    ``drop_final_partial``; empty docs yield no rows.
+
+    Chunk text is the tokens re-joined with single spaces — original
+    whitespace runs are NOT preserved inside chunks (chunking is a
+    training-side transform; the corpus ``text`` column itself always
+    passes through byte-identical per the north-rule invariant). The
+    rule is shared verbatim with the SQL oracle
+    (``array_to_string(tk[i:j], ' ')``).
+
+    One ``map_batches`` pass, row expansion only — no shuffle at any
+    corpus width. Token extraction is the shared C-regex pass
+    (decontam._flat_tokens).
+    """
+    stride = stride or chunk_tokens
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+
+    from doppel_ray.stages.decontam import _flat_tokens
+
+    id_type: pa.DataType | None = None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        flat, counts = _flat_tokens(batch[text_col])
+        ids = batch[id_col]
+        rows_id, rows_ci, rows_nt, rows_tx = [], [], [], []
+        base = 0
+        for r in range(batch.num_rows):
+            n = int(counts[r])
+            start = 0
+            ci = 0
+            while start < n:
+                end = min(start + chunk_tokens, n)
+                if end - start < chunk_tokens and drop_final_partial and ci > 0:
+                    break
+                rows_id.append(r)
+                rows_ci.append(ci)
+                rows_nt.append(end - start)
+                rows_tx.append(" ".join(flat[base + start : base + end]))
+                if end == n:
+                    break
+                start += stride
+                ci += 1
+            base += n
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(rows_id, type=pa.int64())),
+                "chunk_idx": pa.array(rows_ci, type=pa.int64()),
+                "n_tokens": pa.array(rows_nt, type=pa.int64()),
+                "chunk_text": pa.array(rows_tx, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

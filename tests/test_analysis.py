@@ -189,3 +189,54 @@ class TestRepetitionFeatures:
         want = self._brute(long_doc, n=80)
         assert f["dup_80gram_frac"][0] == want[0]
         assert f["top_80gram_frac"][0] == want[1]
+
+
+class TestChunkDocuments:
+    def _run(self, texts, **kw):
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        out = textstats.chunk_documents(ds, **kw).take_all()
+        return sorted(
+            (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in out
+        )
+
+    def test_non_overlapping(self):
+        got = self._run(["a b c d e f g", "x y", ""], chunk_tokens=3)
+        assert got == [
+            (0, 0, 3, "a b c"),
+            (0, 1, 3, "d e f"),
+            (0, 2, 1, "g"),
+            (1, 0, 2, "x y"),
+        ]
+
+    def test_overlap_stops_at_doc_end(self):
+        # stride 2, chunk 3 over 7 tokens: [0:3],[2:5],[4:7] — no window
+        # past the one that reaches the end
+        got = self._run(["a b c d e f g"], chunk_tokens=3, stride=2)
+        assert [g[3] for g in got] == ["a b c", "c d e", "e f g"]
+
+    def test_drop_final_partial(self):
+        got = self._run(["a b c d e"], chunk_tokens=3, drop_final_partial=True)
+        assert [g[3] for g in got] == ["a b c"]
+        # a doc SHORTER than one chunk still yields its (only) window
+        got1 = self._run(["a b"], chunk_tokens=3, drop_final_partial=True)
+        assert [g[3] for g in got1] == ["a b"]
+
+    def test_ws_runs_collapse_in_chunk_text(self):
+        got = self._run(["a   b \n c"], chunk_tokens=2)
+        assert [g[3] for g in got] == ["a b", "c"]
+
+    def test_bad_params(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._run(["a"], chunk_tokens=0)
