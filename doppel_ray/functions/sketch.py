@@ -94,35 +94,46 @@ class BloomFilter:
         self.k = max(1, round(0.693 * bits_per_key))  # ln2 * m/n
         self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
 
-    def _positions(self, h: np.ndarray) -> np.ndarray:
+    #: keys processed per chunk — bounds peak extra memory at O(chunk)
+    #: regardless of key-array size (the >50M-key regime is the whole
+    #: point of this filter; a (k x n) position matrix there is ~3 GB)
+    _CHUNK = 4_000_000
+
+    def _h1h2(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = h.astype(np.uint64, copy=False)
-        h1 = h
         with np.errstate(over="ignore"):
-            h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD) | np.uint64(1)
-            idx = (
-                h1[None, :] + np.arange(self.k, dtype=np.uint64)[:, None] * h2[None, :]
-            ) % np.uint64(self.m)
-        return idx  # shape (k, n)
+            h2 = (h ^ (h >> np.uint64(33))) * np.uint64(
+                0xFF51AFD7ED558CCD
+            ) | np.uint64(1)
+        return h, h2
 
     def add_hashes(self, h: np.ndarray) -> None:
-        if len(h) == 0:
-            return
-        pos = self._positions(h).ravel()
-        np.bitwise_or.at(
-            self.bits, (pos >> np.uint64(6)).astype(np.int64),
-            np.uint64(1) << (pos & np.uint64(63)),
-        )
+        for lo in range(0, len(h), self._CHUNK):
+            h1, h2 = self._h1h2(h[lo : lo + self._CHUNK])
+            for i in range(self.k):
+                with np.errstate(over="ignore"):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+                np.bitwise_or.at(
+                    self.bits,
+                    (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
 
     def add_values(self, values) -> None:
         self.add_hashes(sip64(pd.Series(values)))
 
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
-        if len(h) == 0:
-            return np.zeros(0, dtype=bool)
-        pos = self._positions(h)
-        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
-        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
-        return hit.all(axis=0).astype(bool)
+        out = np.empty(len(h), dtype=bool)
+        for lo in range(0, len(h), self._CHUNK):
+            h1, h2 = self._h1h2(h[lo : lo + self._CHUNK])
+            ok = np.ones(len(h1), dtype=bool)
+            for i in range(self.k):
+                with np.errstate(over="ignore"):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+                word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+                ok &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+            out[lo : lo + len(h1)] = ok
+        return out
 
     def contains_values(self, values) -> np.ndarray:
         return self.contains_hashes(sip64(pd.Series(values)))

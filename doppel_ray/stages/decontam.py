@@ -60,8 +60,16 @@ def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndar
     """One C-regex pass over the batch -> (flat token array, per-doc counts)."""
     s = pd.Series(pa.chunked_array([texts]).to_pandas() if isinstance(texts, pa.Array) else texts.to_pandas())
     lists = s.str.findall(_TOKEN_RE)
+    # null texts leave NaN in `lists` (str.len() -> NaN -> fillna 0):
+    # treat them as empty docs, never crash the pipeline on them
     counts = lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-    flat = np.concatenate([np.asarray(x, dtype=object) for x in lists if len(x)]) if counts.sum() else np.empty(0, dtype=object)
+    flat = (
+        np.concatenate(
+            [np.asarray(x, dtype=object) for x in lists if isinstance(x, list) and x]
+        )
+        if counts.sum()
+        else np.empty(0, dtype=object)
+    )
     return flat, counts
 
 
@@ -94,6 +102,28 @@ def _ngram_hashes(
     return starts, h[valid], doc_idx[starts]
 
 
+def _gram_pairs(
+    flat: np.ndarray, starts: np.ndarray, h: np.ndarray, n: int
+) -> pa.Table:
+    """Block-distinct (hash, gram) PAIRS — deduped on the pair, not the
+    hash alone: two distinct grams colliding on the 64-bit hash must
+    both reach the driver's string set, or a contaminated doc hash-hits
+    but fails the exact verify — the one path that could break the
+    "collision costs work, never an answer" contract. The gram strings
+    exist only block-locally on the (small) benchmark side."""
+    if len(starts) == 0:
+        return pa.table(
+            {"h": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
+        )
+    df = pd.DataFrame(
+        {
+            "h": h.view(np.int64),
+            "g": [" ".join(flat[s : s + n]) for s in starts],
+        }
+    ).drop_duplicates()
+    return pa.table({"h": pa.array(df["h"]), "g": pa.array(df["g"])})
+
+
 def benchmark_ngrams(
     bench: Dataset, *, text_col: str = "text", n: int = 8
 ) -> tuple[np.ndarray, set]:
@@ -108,13 +138,7 @@ def benchmark_ngrams(
     def partial(batch: pa.Table) -> pa.Table:
         flat, counts = _flat_tokens(batch[text_col])
         starts, h, _ = _ngram_hashes(flat, counts, n)
-        if len(starts) == 0:
-            return pa.table(
-                {"h": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
-            )
-        uh, first = np.unique(h, return_index=True)
-        grams = [" ".join(flat[s : s + n]) for s in starts[first]]
-        return pa.table({"h": pa.array(uh.view(np.int64)), "g": pa.array(grams)})
+        return _gram_pairs(flat, starts, h, n)
 
     t = collect_table(
         bench.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")

@@ -294,7 +294,11 @@ def hash_join(
     def per_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return out_schema.empty_table()
-        df = g.to_pandas()
+        # Arrow-backed dtypes through the merge: the plain-numpy path
+        # promotes int columns to float64 for unmatched-left NaNs, which
+        # silently corrupts int64 payloads above 2^53. ArrowDtype keeps
+        # ints nullable and exact end-to-end.
+        df = g.to_pandas(types_mapper=pd.ArrowDtype)
         side = df[_SIDE_COL].to_numpy()
         ldf = df.loc[side == 0, [on, *left_cols]]
         rdf = df.loc[side == 1, [on, *right_cols]]

@@ -185,8 +185,6 @@ def chunk_documents(
 
     from doppel_ray.stages.decontam import _flat_tokens
 
-    id_type: pa.DataType | None = None
-
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np
 

@@ -55,11 +55,16 @@ def cached_get(ref):
     get — only raw numpy/Arrow buffers are zero-copy — so a per-batch
     ``ray.get`` of a large lookup dict pays the unpickle each batch.
     One fetch per worker process instead (the ann.py ``_planes`` idiom).
+
+    maxsize=2: each cache entry pins BOTH the deserialized object and
+    its ObjectRef (blocking plasma eviction) for the worker-process
+    lifetime, so the bound is deliberately tight — one live broadcast
+    plus one in-flight replacement.
     """
     return _cached_get(ref)
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=2)
 def _cached_get(ref):
     import ray
 

@@ -143,3 +143,39 @@ def test_oracle_parity_duckdb(corpus):
         n=8,
     )
     assert {r["doc_id"] for r in got.take_all()} == expect
+
+
+def test_null_texts_treated_as_empty():
+    """A null text row must behave as an empty doc, never crash the
+    tokenizer (regression: len(NaN) TypeError)."""
+    from doppel_ray.stages.decontam import _flat_tokens
+
+    flat, counts = _flat_tokens(
+        pa.chunked_array([pa.array(["a b c", None, "d e"])])
+    )
+    assert counts.tolist() == [3, 0, 2]
+    assert list(flat) == ["a", "b", "c", "d", "e"]
+    bench = rd.from_arrow(pa.table({"text": pa.array(["a b", None])}))
+    train = _mk([(1, "x a b y"), (2, None), (3, "z w")])
+    ids = {r["doc_id"] for r in D.contaminated_ids(train, bench, n=2).take_all()}
+    assert ids == {1}
+
+
+def test_colliding_gram_strings_all_reach_driver():
+    """Distinct grams colliding on the rolling hash must BOTH survive
+    the per-block dedupe (regression: unique-on-hash dropped one,
+    producing a contamination false negative)."""
+    import numpy as np
+
+    from doppel_ray.stages.decontam import _gram_pairs
+
+    flat = np.array(["p", "q", "r", "s"], dtype=object)
+    starts = np.array([0, 2])          # grams "p q" and "r s"
+    h = np.zeros(2, dtype=np.uint64)   # forced full collision
+    t = _gram_pairs(flat, starts, h, 2)
+    assert set(t["g"].to_pylist()) == {"p q", "r s"}
+    # and true duplicates still collapse
+    h2 = np.zeros(2, dtype=np.uint64)
+    flat2 = np.array(["p", "q", "p", "q"], dtype=object)
+    t2 = _gram_pairs(flat2, np.array([0, 2]), h2, 2)
+    assert t2.num_rows == 1

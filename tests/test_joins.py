@@ -238,3 +238,24 @@ class TestHashJoin:
         left, right = self._sides()
         with pytest.raises(ValueError):
             hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"], how="outer")
+
+
+def test_hash_join_left_preserves_large_int64(ray_session):
+    """Unmatched-left NaNs must not round-trip matched int64 payloads
+    through float64 (regression: 2^53+1 came back as 2^53)."""
+    import ray.data as rd
+
+    from doppel_ray.stages.joins import hash_join
+
+    big = 9007199254740993  # 2^53 + 1, not representable in float64
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array(["a", "b"])})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "rv": pa.array([big], pa.int64())})
+    )
+    got = {r["k"]: r["rv"] for r in hash_join(
+        left, right, on="k", left_cols=["lv"], right_cols=["rv"], how="left"
+    ).take_all()}
+    assert got[1] == big
+    assert got[2] is None
