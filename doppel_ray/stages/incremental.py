@@ -125,6 +125,60 @@ def dedup_against_index(
     )
 
 
+def _side_pages(
+    ds: Dataset, prefix: str, id_col: str, text_col: str
+) -> Dataset:
+    """(id, text) -> side-tagged page stream: url = prefix + zero-padded
+    id (index prefix "0" < new prefix "1" keeps the pair-orientation
+    invariant)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"{prefix}{i:012d}" for i in ids]),
+                "text": batch[text_col],
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def build_signature_index(
+    index_ds: Dataset,
+    cfg=None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    path: str | None = None,
+) -> Dataset:
+    """Sign the standing index ONCE for reuse across ingest runs.
+
+    Signing is the compute-dominant near-dedup stage and signatures are
+    a pure function of (text, cfg), so a continuously-ingesting pipeline
+    persists the index's narrow (url, band_key) rows and re-signs only
+    each new batch — the documented production path of
+    ``near_dedup_against_index``. ``path`` additionally writes the rows
+    as Parquet (resumable artifact); pass the returned/read Dataset as
+    ``index_signatures``. MUST be built with the same cfg (shingle,
+    bands, kernel, seed) the ingest runs use.
+    """
+    from doppel_ray.stages import minhash
+
+    cfg = cfg or minhash.MinHashConfig()
+    sig = minhash.signatures(
+        _side_pages(index_ds, "0", id_col, text_col), cfg
+    )
+    if path is not None:
+        sig.write_parquet(path)
+        import ray.data as rd
+
+        return rd.read_parquet(path)
+    return sig.materialize()
+
+
 def near_dedup_against_index(
     new_ds: Dataset,
     index_ds: Dataset,
@@ -132,6 +186,7 @@ def near_dedup_against_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_signatures: Dataset | None = None,
 ) -> Dataset:
     """IDs of new-batch docs with NO near-duplicate (shingle Jaccard >=
     cfg.threshold) anywhere in the existing index — incremental ingest
@@ -147,14 +202,18 @@ def near_dedup_against_index(
 
     Scale notes: (a) edges are bounded by actual near-dup volume, so the
     flagged-id set broadcasts (same bound as the exact path's overlap
-    keys); (b) this recomputes index signatures per run — at production
-    scale persist the index's signature/band tables once via the
-    checkpointed job stages (pipelines/job.py) and union at the band
-    level; (c) index-index candidate pairs are skipped at verify cost
+    keys); (b) pass ``index_signatures`` (from ``build_signature_index``
+    with the SAME cfg) to skip re-signing the standing index — only the
+    new batch is signed, the signature streams union at the band level
+    (prune_exact is disabled on this path: precomputed signatures cover
+    the unpruned doc set; results are identical, equivalence pinned in
+    tests); (c) index-index candidate pairs are skipped at verify cost
     only after banding — a side-aware pair emission (drop same-side
     pairs in the band bucket) is the documented optimization; results
     are identical either way.
     """
+    import dataclasses
+
     import pyarrow.compute as pc
 
     from doppel_ray.stages import minhash
@@ -162,28 +221,15 @@ def near_dedup_against_index(
 
     cfg = cfg or minhash.MinHashConfig()
 
-    def to_pages(prefix: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            return pa.table(
-                {
-                    "url": pa.array([f"{prefix}{i:012d}" for i in ids]),
-                    "text": batch[text_col],
-                }
-            )
-
-        return fn
-
-    union = (
-        new_ds.select_columns([id_col, text_col])
-        .map_batches(to_pages("1"), batch_format="pyarrow")
-        .union(
-            index_ds.select_columns([id_col, text_col]).map_batches(
-                to_pages("0"), batch_format="pyarrow"
-            )
-        )
-    )
-    edges = minhash.near_dup_edges(union, cfg)
+    new_pages = _side_pages(new_ds, "1", id_col, text_col)
+    index_pages = _side_pages(index_ds, "0", id_col, text_col)
+    union = new_pages.union(index_pages)
+    if index_signatures is not None:
+        cfg = dataclasses.replace(cfg, prune_exact=False)
+        sig = minhash.signatures(new_pages, cfg).union(index_signatures)
+        edges = minhash.near_dup_edges(union, cfg, sig=sig)
+    else:
+        edges = minhash.near_dup_edges(union, cfg)
 
     def cross_side_new_ids(batch: pa.Table) -> pa.Table:
         out = []

@@ -343,7 +343,25 @@ def _emit_pairs_driver(t: pa.Table, cap: int) -> pa.Table:
     return _emit_pairs_bucket(t.filter(pa.array(dup_mask)), cap)
 
 
-def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
+def signatures(
+    ds: Dataset, cfg: MinHashConfig, *, with_eq: bool = False
+) -> Dataset:
+    """Public signing step: pages -> narrow (url, band_key[, eq_key])
+    signature rows. Exposed so callers can PERSIST signatures and skip
+    re-signing a standing corpus on every run (incremental ingest:
+    stages/incremental.py build_signature_index) — signing is the
+    compute-dominant stage of near-dedup, and signature rows are a pure
+    function of (text, cfg)."""
+    return ds.map_batches(
+        lambda t: sign_batch(t, cfg, with_eq=with_eq),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+
+def candidate_pairs(
+    ds: Dataset, cfg: MinHashConfig, *, sig: Dataset | None = None
+) -> Dataset:
     """pages -> candidate pair rows (url_a < url_b, with dropped counts).
 
     Pairs surfacing in multiple bands are NOT deduped here (the collector
@@ -368,11 +386,13 @@ def candidate_pairs(ds: Dataset, cfg: MinHashConfig) -> Dataset:
     is the skew-safe O(m) choice there.
     """
     with_eq = cfg.is_pair_complete
-    sig = ds.map_batches(
-        lambda t: sign_batch(t, cfg, with_eq=with_eq),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
+    if sig is None:
+        sig = signatures(ds, cfg, with_eq=with_eq)
+    elif with_eq and "eq_key" not in sig.schema().names:
+        raise ValueError(
+            "precomputed signatures lack eq_key but cfg is pair-complete; "
+            "rebuild them with signatures(..., with_eq=True)"
+        )
     cap = cfg.band_cap
     if with_eq or not cfg.salt_hot_bands:
         # Persist signature rows before anything touches them (the
@@ -1110,7 +1130,12 @@ def _unique_pair_urls(pairs: Dataset) -> pa.Array:
     return pc.unique(both)
 
 
-def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
+def near_dup_edges(
+    ds: Dataset,
+    cfg: MinHashConfig | None = None,
+    *,
+    sig: Dataset | None = None,
+) -> Dataset:
     """pages -> verified near-dup edges (url_a, url_b, similarity, kind).
 
     ``similarity`` is the exact Jaccard over unique char-n-gram shingle
@@ -1124,9 +1149,16 @@ def near_dup_edges(ds: Dataset, cfg: MinHashConfig | None = None) -> Dataset:
     """
     cfg = cfg or MinHashConfig()
     members = None
+    if sig is not None and cfg.prune_exact:
+        # precomputed signatures cover the UNPRUNED doc set; pruning
+        # would sign a different set. Callers pass prune_exact=False
+        # (results identical — prune==unpruned equivalence is pinned).
+        raise ValueError(
+            "precomputed signatures require cfg.prune_exact=False"
+        )
     if cfg.prune_exact:
         ds, members = _prune_exact_classes(ds, cfg)
-    pairs = candidate_pairs(ds, cfg)
+    pairs = candidate_pairs(ds, cfg, sig=sig)
     scale = cfg.scale_mode
     if scale is not True:
         # the pair count picks the regime (and the driver-collect bound

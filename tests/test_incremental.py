@@ -172,3 +172,68 @@ class TestNearDedupAgainstIndex:
         new = [(1, "completely different text body here indeed")]
         got = I.near_dedup_against_index(_ds(new), _ds(idx))
         assert {r["doc_id"] for r in got.take_all()} == {1}
+
+
+class TestSignatureIndex:
+    def test_persisted_index_signatures_give_identical_survivors(
+        self, near_corpora_shared, tmp_path
+    ):
+        idx, new = near_corpora_shared
+        base = {
+            r["doc_id"]
+            for r in I.near_dedup_against_index(_ds(new), _ds(idx)).take_all()
+        }
+        # in-memory index signatures
+        sig = I.build_signature_index(_ds(idx))
+        with_sig = {
+            r["doc_id"]
+            for r in I.near_dedup_against_index(
+                _ds(new), _ds(idx), index_signatures=sig
+            ).take_all()
+        }
+        assert with_sig == base
+        # parquet round-trip (the resumable artifact)
+        sig2 = I.build_signature_index(_ds(idx), path=str(tmp_path / "sigidx"))
+        with_sig2 = {
+            r["doc_id"]
+            for r in I.near_dedup_against_index(
+                _ds(new), _ds(idx), index_signatures=sig2
+            ).take_all()
+        }
+        assert with_sig2 == base
+
+    def test_prune_exact_rejected_with_precomputed_sig(self):
+        import pytest as _pytest
+
+        from doppel_ray.stages import minhash
+
+        ds = _ds([(1, "a b c d e")])
+        sig = minhash.signatures(
+            I._side_pages(ds, "0", "doc_id", "text"), minhash.MinHashConfig()
+        )
+        with _pytest.raises(ValueError):
+            minhash.near_dup_edges(
+                I._side_pages(ds, "0", "doc_id", "text"),
+                minhash.MinHashConfig(prune_exact=True),
+                sig=sig,
+            ).materialize()
+
+
+import pytest as _pt
+
+
+@_pt.fixture(scope="module")
+def near_corpora_shared():
+    import random
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+    def doc(k=80):
+        return " ".join(rng.choice(words) for _ in range(k))
+
+    idx = [(2 * i, doc()) for i in range(40)]
+    new = [(2 * i + 1, doc()) for i in range(40)]
+    new[3] = (7, idx[5][1])
+    new[8] = (17, idx[9][1] + " tail")
+    return idx, new
