@@ -99,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
     job_p.add_argument("--near", action="store_true")
     job_p.add_argument("--simhash", action="store_true")
     job_p.add_argument("--containment", action="store_true")
+    job_p.add_argument(
+        "--checkpoint-signatures",
+        dest="checkpoint_signatures",
+        action="store_true",
+        help="checkpoint the MinHash signature rows as their own stage "
+        "(resume past signing; disables the exact-dup pre-prune)",
+    )
     return ap
 
 
@@ -191,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
                 near=args.near,
                 with_simhash=args.simhash,
                 with_containment=args.containment,
+                checkpoint_signatures=args.checkpoint_signatures,
             )
             print(
                 f"stages computed={res.computed_stages} "

@@ -47,6 +47,7 @@ def run_dedup_job(
     near: bool = True,
     with_simhash: bool = False,
     with_containment: bool = False,
+    checkpoint_signatures: bool = False,
 ) -> JobResult:
     """Full cascade with stage checkpoints:
 
@@ -55,6 +56,15 @@ def run_dedup_job(
     Rerunning with the same inputs + config skips every completed stage
     (manifest fingerprint hit); changing config or inputs invalidates
     exactly the affected suffix of the chain.
+
+    ``checkpoint_signatures=True`` inserts a ``signatures`` stage before
+    ``minhash_edges``: the narrow (url, band_key) rows checkpoint to
+    Parquet and a run that dies mid-near-dedup resumes past the
+    compute-dominant signing pass. Tradeoff, documented: precomputed
+    signatures disable the exact-dup pre-prune (results identical —
+    prune==unpruned equivalence pinned; the prune is itself a compute
+    saving, so prefer the default on heavily-duplicated corpora and
+    signature checkpointing on mostly-unique ones).
     """
     cfg = cfg or C.default_config()
     ctx = CheckpointContext(ckpt_root, input_fingerprint(source))
@@ -73,11 +83,28 @@ def run_dedup_job(
     clusters_res = None
     if near:
         mh_cfg = minhash_config(cfg)
-        edges_res = ctx.run_stage(
-            "minhash_edges",
-            lambda: minhash.near_dup_edges(pages(), mh_cfg),
-            config=mh_cfg,
-        )
+        if checkpoint_signatures:
+            import dataclasses
+
+            mh_cfg = dataclasses.replace(mh_cfg, prune_exact=False)
+            sig_res = ctx.run_stage(
+                "signatures",
+                lambda: minhash.signatures(pages(), mh_cfg),
+                config=mh_cfg,
+            )
+            edges_res = ctx.run_stage(
+                "minhash_edges",
+                lambda: minhash.near_dup_edges(
+                    pages(), mh_cfg, sig=sig_res.dataset
+                ),
+                config=mh_cfg,
+            )
+        else:
+            edges_res = ctx.run_stage(
+                "minhash_edges",
+                lambda: minhash.near_dup_edges(pages(), mh_cfg),
+                config=mh_cfg,
+            )
         edge_sets = [edges_res]
         if with_simhash:
             sh_cfg = simhash.SimHashConfig()

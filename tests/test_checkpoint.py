@@ -115,3 +115,26 @@ class TestLineageMetrics:
         }
         for r in recs:
             assert r["wall_s"] >= 0 and "partitions" in r
+
+
+def test_job_checkpoint_signatures_stage(tmp_path, corpus_dir):
+    """--checkpoint-signatures: the signing pass checkpoints as its own
+    stage, resumes on rerun, and edges match the default path."""
+    from doppel_ray.pipelines.job import run_dedup_job
+
+    src = corpus_dir
+    base = run_dedup_job(src, str(tmp_path / "ck0"), near=True)
+    want = {
+        (r["url_a"], r["url_b"]) for r in base.edges.take_all()
+    }
+    r1 = run_dedup_job(
+        src, str(tmp_path / "ck1"), near=True, checkpoint_signatures=True
+    )
+    assert "signatures" in r1.computed_stages
+    got = {(r["url_a"], r["url_b"]) for r in r1.edges.take_all()}
+    assert got == want
+    r2 = run_dedup_job(
+        src, str(tmp_path / "ck1"), near=True, checkpoint_signatures=True
+    )
+    assert "signatures" in r2.resumed_stages
+    assert "minhash_edges" in r2.resumed_stages
