@@ -36,10 +36,16 @@ def normalize_texts(arr: pa.Array | pa.ChunkedArray) -> pd.Series:
 
     Used ONLY for shingling/signatures; the corpus ``text`` column itself
     passes through byte-identical (north-rule invariant).
+
+    The whitespace class is spelled as RE2's ASCII-only ``\\s`` =
+    ``[\\t\\n\\f\\r ]`` and the strip is space-only, so the DuckDB
+    oracles' ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``
+    reproduces this rule EXACTLY on non-ASCII whitespace too (Python's
+    Unicode ``\\s`` would also collapse NBSP etc. and diverge).
     """
     low = pc.utf8_lower(arr)
     s = low.to_pandas()
-    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s.str.replace(r"[\t\n\f\r ]+", " ", regex=True).str.strip(" ")
 
 
 def make_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:

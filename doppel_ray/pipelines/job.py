@@ -89,7 +89,9 @@ def run_dedup_job(
             mh_cfg = dataclasses.replace(mh_cfg, prune_exact=False)
             sig_res = ctx.run_stage(
                 "signatures",
-                lambda: minhash.signatures(pages(), mh_cfg),
+                lambda: minhash.signatures(
+                    pages(), mh_cfg, with_eq=mh_cfg.is_pair_complete
+                ),
                 config=mh_cfg,
             )
             edges_res = ctx.run_stage(

@@ -53,7 +53,12 @@ from doppel_ray.functions.hashing import sip64
 #: odd 64-bit multiplier for the rolling polynomial (splitmix64 constant)
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)
 
-_TOKEN_RE = r"\S+"  # shared with the SQL oracle: regexp_extract_all(text, '\S+')
+# Token pattern shared with the SQL oracles (regexp_extract_all(text,
+# '\S+')). The oracles run RE2, where \s is ASCII-only [\t\n\f\r ];
+# Python's re treats \s as Unicode whitespace (NBSP,  , also \v),
+# so spelling the RE2 class EXPLICITLY keeps pandas and DuckDB
+# tokenizing scraped web text (NBSP is ubiquitous) identically.
+_TOKEN_RE = r"[^\t\n\f\r ]+"
 
 
 def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:

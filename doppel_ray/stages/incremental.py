@@ -169,7 +169,9 @@ def build_signature_index(
 
     cfg = cfg or minhash.MinHashConfig()
     sig = minhash.signatures(
-        _side_pages(index_ds, "0", id_col, text_col), cfg
+        _side_pages(index_ds, "0", id_col, text_col),
+        cfg,
+        with_eq=cfg.is_pair_complete,
     )
     if path is not None:
         sig.write_parquet(path)
@@ -226,7 +228,9 @@ def near_dedup_against_index(
     union = new_pages.union(index_pages)
     if index_signatures is not None:
         cfg = dataclasses.replace(cfg, prune_exact=False)
-        sig = minhash.signatures(new_pages, cfg).union(index_signatures)
+        sig = minhash.signatures(
+            new_pages, cfg, with_eq=cfg.is_pair_complete
+        ).union(index_signatures)
         edges = minhash.near_dup_edges(union, cfg, sig=sig)
     else:
         edges = minhash.near_dup_edges(union, cfg)

@@ -24,6 +24,24 @@ from ray.data import Dataset
 from doppel_ray.functions.text import md5_token_hash64
 
 
+def _key_hashes(col: pa.Array, salt: str, method: str, den: int) -> np.ndarray:
+    """Shared per-row hash bucket for all samplers — ONE definition, so
+    the nesting invariant (a lower-rate sample is a subset of a
+    higher-rate one for the same key/salt/method) cannot drift between
+    the uniform and stratified paths."""
+    if method == "sip64":
+        import pandas as pd
+
+        from doppel_ray.functions.hashing import sip64
+
+        keys = col.cast(pa.string()).to_pandas()
+        if salt:
+            keys = keys + salt
+        return sip64(pd.Series(keys)) % np.uint64(den)
+    keys = np.asarray([str(v) + salt for v in col.to_pylist()], dtype=object)
+    return md5_token_hash64(keys) % np.uint64(den)
+
+
 def hash_sample(
     ds: Dataset,
     key_col: str,
@@ -52,21 +70,7 @@ def hash_sample(
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        col = batch[key_col]
-        if method == "sip64":
-            import pandas as pd
-
-            from doppel_ray.functions.hashing import sip64
-
-            keys = col.cast(pa.string()).to_pandas()
-            if salt:
-                keys = keys + salt
-            h = sip64(pd.Series(keys)) % np.uint64(den)
-        else:
-            keys = np.asarray(
-                [str(v) + salt for v in col.to_pylist()], dtype=object
-            )
-            h = md5_token_hash64(keys) % np.uint64(den)
+        h = _key_hashes(batch[key_col], salt, method, den)
         keep = h < np.uint64(num)
         if invert:
             keep = ~keep
@@ -114,21 +118,7 @@ def stratified_hash_sample(
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        col = batch[key_col]
-        if method == "sip64":
-            import pandas as pd
-
-            from doppel_ray.functions.hashing import sip64
-
-            keys = col.cast(pa.string()).to_pandas()
-            if salt:
-                keys = keys + salt
-            h = sip64(pd.Series(keys)) % np.uint64(den)
-        else:
-            keys = np.asarray(
-                [str(v) + salt for v in col.to_pylist()], dtype=object
-            )
-            h = md5_token_hash64(keys) % np.uint64(den)
+        h = _key_hashes(batch[key_col], salt, method, den)
         strata = batch[stratum_col].to_pylist()
         nums = np.fromiter(
             (rates.get(s, default_num) for s in strata),

@@ -56,15 +56,19 @@ def cached_get(ref):
     ``ray.get`` of a large lookup dict pays the unpickle each batch.
     One fetch per worker process instead (the ann.py ``_planes`` idiom).
 
-    maxsize=2: each cache entry pins BOTH the deserialized object and
+    maxsize=4: each cache entry pins BOTH the deserialized object and
     its ObjectRef (blocking plasma eviction) for the worker-process
-    lifetime, so the bound is deliberately tight — one live broadcast
-    plus one in-flight replacement.
+    lifetime, so the bound stays tight — but a streaming pipeline can
+    interleave batches from several stages holding DIFFERENT refs in
+    one worker (e.g. substring probes + verify texts + a bloom filter),
+    and an LRU smaller than the live-ref count thrashes into per-batch
+    re-unpickling. Four covers the most refs any current pipeline holds
+    live at once.
     """
     return _cached_get(ref)
 
 
-@functools.lru_cache(maxsize=2)
+@functools.lru_cache(maxsize=4)
 def _cached_get(ref):
     import ray
 

@@ -179,3 +179,19 @@ def test_colliding_gram_strings_all_reach_driver():
     flat2 = np.array(["p", "q", "p", "q"], dtype=object)
     t2 = _gram_pairs(flat2, np.array([0, 2]), h2, 2)
     assert t2.num_rows == 1
+
+
+def test_nbsp_tokenization_matches_re2_oracle():
+    """Non-ASCII whitespace (NBSP) is a TOKEN character under RE2 \\S —
+    the Python tokenizer must agree (regression: Python Unicode \\s
+    split on NBSP and diverged from every n-gram oracle)."""
+    import duckdb
+
+    from doppel_ray.stages.decontam import _flat_tokens
+
+    text = "x\xa0y z"
+    flat, counts = _flat_tokens(pa.chunked_array([pa.array([text])]))
+    want = duckdb.connect().execute(
+        r"SELECT regexp_extract_all(?, '\S+')", [text]
+    ).fetchone()[0]
+    assert list(flat) == want == ["x\xa0y", "z"]

@@ -196,3 +196,24 @@ def test_normalized_dedup_collapses_case_and_ws(ray_session):
         ).fetchall()
     )
     assert got == want == [0, 3, 5]
+
+
+def test_normalize_matches_duckdb_on_unicode_ws():
+    """normalize_texts must reproduce the oracle expression
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) exactly,
+    including NBSP (RE2 \\s is ASCII-only) — regression for the
+    normalized_dedup / minhash-shingle oracle parity."""
+    import duckdb
+
+    from doppel_ray.functions.text import normalize_texts
+
+    samples = ["Foo\xa0Bar", "  A  B  ", "x\ty\nz", "\va b"]
+    ours = list(normalize_texts(pa.array(samples)))
+    con = duckdb.connect()
+    theirs = [
+        con.execute(
+            r"SELECT trim(regexp_replace(lower(?), '\s+', ' ', 'g'))", [s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert ours == theirs

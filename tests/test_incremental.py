@@ -237,3 +237,22 @@ def near_corpora_shared():
     new[3] = (7, idx[5][1])
     new[8] = (17, idx[9][1] + " tail")
     return idx, new
+
+
+def test_signature_index_pair_complete_mode():
+    """threshold=1.0 (pair-complete) with a precomputed signature index
+    must work end-to-end (regression: signatures lacked eq_key and
+    candidate_pairs raised)."""
+    from doppel_ray.stages import minhash
+
+    idx = [(0, "a b c d e f"), (2, "q r s t u v")]
+    new = [(1, "a b c d e f"), (3, "totally different text here")]
+    cfg = minhash.MinHashConfig(threshold=1.0, verify_mode="exact")
+    sig = I.build_signature_index(_ds(idx), cfg)
+    got = {
+        r["doc_id"]
+        for r in I.near_dedup_against_index(
+            _ds(new), _ds(idx), cfg, index_signatures=sig
+        ).take_all()
+    }
+    assert got == {3}
