@@ -159,13 +159,20 @@ def bloom_semi_filter(ds: Dataset, key: str, values: pa.Array) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def prune_singletons(ds: Dataset, key: str) -> Dataset:
-    """HAVING-count>1 prune on ``key`` (reference finder.go:47-58, 84-96)."""
+def prune_singletons(ds: Dataset, key: str, *, allow_bloom: bool = True) -> Dataset:
+    """HAVING-count>1 prune on ``key`` (reference finder.go:47-58, 84-96).
+
+    ``allow_bloom=False`` forces the exact broadcast semi-join past
+    ``BLOOM_KEY_LIMIT`` — REQUIRED when the pruned stream is a TERMINAL
+    result with no exact downstream re-verify (Bloom FPs would emit
+    unique rows as 'duplicates'). The dedup cascade keeps the default:
+    its full-hash groupby re-verifies every survivor exactly.
+    """
     dup_vals = duplicated_key_values(ds, key)
     if len(dup_vals) == 0:
         # no duplicated keys at all -> empty survivor stream
         return ds.limit(0)
-    if len(dup_vals) > BLOOM_KEY_LIMIT:
+    if allow_bloom and len(dup_vals) > BLOOM_KEY_LIMIT:
         return bloom_semi_filter(ds, key, dup_vals)
     return semi_filter(ds, key, dup_vals)
 

@@ -248,23 +248,29 @@ def exclusion_mask(
 
     if dir_glob is not None or dir_rx is not None:
         # dir predicates apply to every directory prefix (subtree pruning):
-        # match any path segment (basename form) or any prefix (path form)
-        dirpart = paths.str.rsplit("/", n=1).str[0]
-        segs = dirpart.str.split("/")
+        # match any path segment (basename form) or any prefix (path form).
+        # Vectorized: explode segments ONCE to a flat Series whose index is
+        # the originating row, run one C-level match over the flat array,
+        # and scatter hits back by row position — no per-row Python lambda.
+        dirpart = paths.str.rsplit("/", n=1).str[0].reset_index(drop=True)
+        flat = dirpart.str.split("/").explode()
+        flat = flat[flat.notna() & (flat != "")]
+        rows = flat.index.to_numpy(dtype=np.int64)
         if dir_glob is not None:
-            seg_hit = segs.map(
-                lambda xs: any(re.match(dir_glob, x) for x in xs if x)
-                if isinstance(xs, list)
-                else False
-            )
-            excl |= seg_hit.to_numpy(dtype=bool)
+            hits = flat.str.match(dir_glob).to_numpy(dtype=bool)
+            seg_excl = np.zeros(n, dtype=bool)
+            seg_excl[rows[hits]] = True
+            excl |= seg_excl
         if dir_rx is not None:
-            hit = segs.map(
-                lambda xs: any(dir_rx.search(x) for x in xs if x)
-                if isinstance(xs, list)
-                else False
-            ) | dirpart.str.contains(dir_rx, regex=True).fillna(False)
-            excl |= hit.to_numpy(dtype=bool)
+            hits = flat.str.contains(dir_rx, regex=True).to_numpy(dtype=bool)
+            seg_excl = np.zeros(n, dtype=bool)
+            seg_excl[rows[hits]] = True
+            excl |= seg_excl
+            excl |= (
+                dirpart.str.contains(dir_rx, regex=True)
+                .fillna(False)
+                .to_numpy(dtype=bool)
+            )
     return excl
 
 

@@ -269,6 +269,10 @@ class VideoFrameSampler:
         rep_idx: list[int] = []
         pixels, fidx, nf, hs, ws, cs = [], [], [], [], [], []
         for row, buf in enumerate(batch[self.in_col].to_pylist()):
+            if buf is None or len(buf) == 0:
+                # null payload -> no frames (mirrors decontam's null-text
+                # handling: nulls are empty, never a crash)
+                continue
             if buf[:4] != _MAGIC_V:
                 raise ValueError("not a RAWV payload")
             n, h, w, c = struct.unpack("<IIII", buf[4:20])
@@ -389,6 +393,14 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, durs, rates = [], [], []
         for buf in batch[self.in_col].to_pylist():
+            if buf is None or len(buf) == 0:
+                # null payload -> zero features (row alignment preserved)
+                feats.append(
+                    np.zeros(2 * self.n_windows, dtype=np.float32).tolist()
+                )
+                durs.append(0.0)
+                rates.append(0)
+                continue
             if buf[:4] != _MAGIC_A:
                 raise ValueError("not a RAWA payload")
             n, sr = struct.unpack("<II", buf[4:12])
@@ -418,4 +430,6 @@ def exact_dup_media(ds: Dataset, payload_col: str = "image") -> Dataset:
     from doppel_ray.stages import exact
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return exact.prune_singletons(hashed, "media_hash")
+    # terminal result, no downstream exact re-verify -> Bloom FPs would
+    # surface unique media as 'duplicates'; force the exact semi-join
+    return exact.prune_singletons(hashed, "media_hash", allow_bloom=False)

@@ -1,12 +1,34 @@
-"""Exact distributed quantiles over a (discrete) numeric column.
+"""Exact distributed quantiles over a numeric column.
 
-Shape: one ``groupby(col).count()`` shuffle builds the value histogram —
-the only thing that ever leaves the workers — then the (small) histogram
-is sorted and walked cumulatively. Exactness costs one exchange of
-``distinct-values`` rows instead of a full sort of the dataset; the
-documented bound is that the histogram fits the driver (true for
-discrete stats such as token counts, sizes, or session lengths — for
-continuous columns, bucket first and accept bucket resolution).
+Two regimes, auto-selected by a HyperLogLog cardinality pre-check
+(``stages.hashes.approx_distinct`` — one narrow projection pass, no
+shuffle):
+
+* **discrete** (distinct values <= ``driver_limit``): one
+  ``groupby(col).count()`` shuffle builds the value histogram — the only
+  thing that ever leaves the workers — then the (small) histogram is
+  sorted and walked cumulatively. Exactness costs one exchange of
+  ``distinct-values`` rows instead of a full sort of the dataset.
+* **continuous / near-unique** (distinct values > ``driver_limit``):
+  a distributed cumulative walk. One Min/Max pass bounds the range; each
+  refinement level bins every row of the current selection into
+  ``resolution`` buckets (counts + per-bucket min/max in one
+  ``map_batches`` pass, merged on the driver as ``resolution``-length
+  arrays), the target rank's bucket becomes the next selection, and only
+  when a bucket's row count fits ``driver_limit`` are its values
+  collected and indexed. Bucket membership is re-derived from the SAME
+  clip-of-floor expression at every level (the selection is a chain of
+  ``(lo, width, bucket)`` assignments, not a value-range filter), so a
+  float boundary can never be counted in one pass and filtered out in
+  the next — the result is EXACT, the same element the discrete path
+  would return. Because a bucket's exact min/max seed the child grid,
+  ``min < max`` guarantees the child splits (min lands in bucket 0, max
+  in bucket resolution-1), and a constant bucket (min == max) resolves
+  immediately — heavy skew terminates instead of looping. Driver memory
+  is bounded by ``max(resolution, driver_limit)`` regardless of column
+  cardinality; at 100 TB each level is a narrow column scan plus a
+  ``resolution``-row exchange, and levels are O(log_resolution(span)),
+  in practice <= 6 for float64.
 
 Quantile rule matches DuckDB's ``quantile_disc``: the element at sorted
 index ``max(ceil(p*n) - 1, 0)`` (verified empirically for n in {4,5,10}
@@ -18,14 +40,48 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pyarrow as pa
+
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
+#: distinct values above which the driver value-histogram path is refused
+#: and the bucketed cumulative walk runs instead. Sized so the histogram
+#: (~16 B/row x limit) stays well inside a driver heap; the HLL estimate
+#: carries ~1% error, so keep an order of magnitude of slack vs. what the
+#: driver could physically hold.
+DRIVER_HIST_LIMIT = 1_000_000
+
+#: buckets per refinement level of the continuous path. 4096 localises a
+#: rank to 1/4096 of the remaining span per level while the per-level
+#: exchange stays a few-KB table.
+BUCKET_RESOLUTION = 4096
+
 
 def exact_quantiles(
-    ds: Dataset, col: str, ps: list[float]
+    ds: Dataset,
+    col: str,
+    ps: list[float],
+    *,
+    driver_limit: int = DRIVER_HIST_LIMIT,
+    resolution: int = BUCKET_RESOLUTION,
 ) -> list[tuple[float, int]]:
-    """[(p, value)] exact discrete quantiles of ``ds[col]``."""
+    """[(p, value)] exact quantiles of ``ds[col]`` (discrete rule above).
+
+    Safe for any column cardinality: the driver histogram is gated on an
+    ``approx_distinct`` pre-check; near-unique columns (float scores,
+    doc ids) take the bucketed cumulative walk automatically.
+    """
+    from doppel_ray.stages.hashes import approx_distinct
+
+    ds = ds.select_columns([col])
+    if approx_distinct(ds, col) <= driver_limit:
+        return _histogram_quantiles(ds, col, ps)
+    return _bucketed_quantiles(ds, col, ps, driver_limit, resolution)
+
+
+def _histogram_quantiles(ds: Dataset, col: str, ps: list[float]) -> list:
     hist = ds.groupby(col).aggregate(Count(alias_name="cnt")).take_all()
     hist.sort(key=lambda r: r[col])
     n = sum(r["cnt"] for r in hist)
@@ -41,3 +97,171 @@ def exact_quantiles(
                 out.append((p, r[col]))
                 break
     return out
+
+
+# --------------------------------------------- continuous cumulative walk
+
+# a selection is a tuple of levels (lo, width, resolution, bucket); a row
+# belongs when _assign(v, lo, width, resolution) == bucket at EVERY level
+
+
+def _assign(v: np.ndarray, lo: float, width: float, res: int) -> np.ndarray:
+    return np.clip(((v - lo) / width).astype(np.int64), 0, res - 1)
+
+
+def _select(v: np.ndarray, levels: tuple) -> np.ndarray:
+    for lo, width, res, bucket in levels:
+        v = v[_assign(v, lo, width, res) == bucket]
+    return v
+
+
+def _col_f64(batch: pa.Table, col: str) -> np.ndarray:
+    v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return v[~np.isnan(v)]
+
+
+def _bucket_stats(
+    ds: Dataset, col: str, levels: tuple, lo: float, width: float, res: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(counts, mins, maxs) per bucket over the current selection — one
+    narrow map_batches pass; each block ships three res-length arrays."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _select(_col_f64(batch, col), levels)
+        b = _assign(v, lo, width, res)
+        cnt = np.bincount(b, minlength=res).astype(np.int64)
+        mins = np.full(res, np.inf)
+        maxs = np.full(res, -np.inf)
+        np.minimum.at(mins, b, v)
+        np.maximum.at(maxs, b, v)
+        return pa.table(
+            {
+                "cnt": pa.array([cnt.tobytes()], type=pa.large_binary()),
+                "mn": pa.array([mins.tobytes()], type=pa.large_binary()),
+                "mx": pa.array([maxs.tobytes()], type=pa.large_binary()),
+            }
+        )
+
+    counts = np.zeros(res, dtype=np.int64)
+    mins = np.full(res, np.inf)
+    maxs = np.full(res, -np.inf)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for c, mn, mx in zip(
+            b["cnt"].to_pylist(), b["mn"].to_pylist(), b["mx"].to_pylist()
+        ):
+            counts += np.frombuffer(c, dtype=np.int64)
+            mins = np.minimum(mins, np.frombuffer(mn, dtype=np.float64))
+            maxs = np.maximum(maxs, np.frombuffer(mx, dtype=np.float64))
+    return counts, mins, maxs
+
+
+def _bucket_values(
+    ds: Dataset, col: str, levels: tuple, lo: float, width: float, res: int, bucket: int
+) -> np.ndarray:
+    """Collect (sorted) the values of one bucket — called only when its
+    count is <= driver_limit."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = _select(_col_f64(batch, col), levels)
+        v = v[_assign(v, lo, width, res) == bucket]
+        return pa.table({"v": pa.array(v, type=pa.float64())})
+
+    parts = [
+        b["v"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(fn, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    vals = np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+    vals.sort()
+    return vals
+
+
+def _global_stats(ds: Dataset, col: str) -> tuple[int, float, float]:
+    """(n, min, max) over non-NaN values — the same value set the walk
+    bins, so ranks can never run past the selection."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _col_f64(batch, col)
+        mn = float(v.min()) if len(v) else np.inf
+        mx = float(v.max()) if len(v) else -np.inf
+        return pa.table({"n": [len(v)], "mn": [mn], "mx": [mx]})
+
+    n, mn, mx = 0, np.inf, -np.inf
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        n += sum(b["n"].to_pylist())
+        mn = min(mn, min(b["mn"].to_pylist()))
+        mx = max(mx, max(b["mx"].to_pylist()))
+    return n, mn, mx
+
+
+def _bucketed_quantiles(
+    ds: Dataset, col: str, ps: list[float], driver_limit: int, resolution: int
+) -> list:
+    n, lo, hi = _global_stats(ds, col)
+    if n == 0:
+        return []
+    sch = ds.schema()
+    col_type = dict(zip(sch.names, sch.types))[col]
+    is_int = pa.types.is_integer(col_type)
+
+    # per-call memo: all ps share the level-0 histogram (and usually the
+    # deeper levels too), so each distinct selection is scanned once
+    cache: dict = {}
+    out = []
+    for p in ps:
+        idx = max(math.ceil(p * n) - 1, 0)
+        val = _resolve_rank(ds, col, idx, lo, hi, driver_limit, resolution, cache=cache)
+        out.append((p, int(val) if is_int else val))
+    return out
+
+
+def _resolve_rank(
+    ds: Dataset,
+    col: str,
+    rank: int,
+    lo: float,
+    hi: float,
+    driver_limit: int,
+    resolution: int,
+    levels: tuple = (),
+    cache: dict | None = None,
+) -> float:
+    """Value at sorted index ``rank`` within the current selection (rank
+    is RELATIVE to the selection: each level subtracts the cumulative
+    count of earlier buckets)."""
+    cache = cache if cache is not None else {}
+    while True:
+        if lo == hi:
+            return lo
+        width = (hi - lo) / resolution
+        if width <= 0 or not np.isfinite(width):
+            return lo
+        key = (levels, lo, width, resolution)
+        if key not in cache:
+            cache[key] = _bucket_stats(ds, col, levels, lo, width, resolution)
+        counts, mins, maxs = cache[key]
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, rank + 1))
+        if b >= resolution:
+            raise RuntimeError(
+                f"rank {rank} exceeds selection size {int(cum[-1])} "
+                f"(inconsistent refinement state)"
+            )
+        rank -= int(cum[b - 1]) if b > 0 else 0
+        if counts[b] <= driver_limit:
+            vals = _bucket_values(ds, col, levels, lo, width, resolution, b)
+            return float(vals[rank])
+        if mins[b] == maxs[b]:
+            # constant hot bucket (heavy skew): every element IS the value
+            return float(mins[b])
+        if len(levels) > 64:
+            raise RuntimeError("quantile refinement failed to converge")
+        # recurse into the bucket; its exact min/max seed the child grid,
+        # so min<max guarantees the child splits into >=2 buckets
+        levels = levels + ((lo, width, resolution, b),)
+        lo, hi = float(mins[b]), float(maxs[b])

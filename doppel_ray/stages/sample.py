@@ -111,9 +111,15 @@ def stratified_hash_sample(
     The per-row num is a vectorized lookup (strata are categorical and
     few); the hash pass is shared with the uniform sampler.
     """
-    for num in rates.values():
-        assert 0 <= num <= den
-    assert 0 <= default_num <= den
+    for stratum, num in rates.items():
+        if not 0 <= num <= den:
+            raise ValueError(
+                f"rate for stratum {stratum!r} must be in [0, {den}], got {num}"
+            )
+    if not 0 <= default_num <= den:
+        raise ValueError(
+            f"default_num must be in [0, {den}], got {default_num}"
+        )
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

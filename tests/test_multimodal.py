@@ -211,3 +211,51 @@ class TestAudioFeatures:
         assert buf == M.fake_audio_bytes(1234, 8000, seed=3)
         with _pytest.raises(NotImplementedError):
             M.AudioFeatures(fallback="error")
+
+
+class TestNullPayloads:
+    """A single null media cell must not kill the pipeline (ADVICE r3):
+    null video -> no frames emitted; null audio -> zero-feature row."""
+
+    def test_video_null_payload_emits_no_frames(self):
+        good = M.fake_video_bytes(n_frames=4, height=2, width=2, seed=1)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(["ok", "null", "empty"]),
+                    "video": pa.array([good, None, b""], type=pa.large_binary()),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            M.VideoFrameSampler,
+            fn_constructor_kwargs={"num_frames": 2},
+            batch_format="pyarrow",
+            concurrency=2,
+        ).take_all()
+        assert {r["media_id"] for r in rows} == {"ok"}
+        assert len(rows) == 2
+
+    def test_audio_null_payload_zero_features(self):
+        good = M.fake_audio_bytes(1600, 16000, seed=2)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(["ok", "null"]),
+                    "audio": pa.array([good, None], type=pa.large_binary()),
+                }
+            )
+        )
+        out = {
+            r["media_id"]: r
+            for r in ds.map_batches(
+                M.AudioFeatures,
+                fn_constructor_kwargs={"n_windows": 4},
+                batch_format="pyarrow",
+                concurrency=2,
+            ).take_all()
+        }
+        assert len(out) == 2
+        null_row = out["null"]
+        assert all(v == 0.0 for v in null_row["feat"])
+        assert null_row["duration_s"] == 0.0 and null_row["sample_rate"] == 0

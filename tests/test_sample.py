@@ -8,6 +8,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from doppel_ray.stages.sample import hash_sample, hash_split
+from doppel_ray.stages import sample
 
 
 def _ds(n: int = 2000):
@@ -138,3 +139,18 @@ class TestStratifiedSample:
             ).take_all()
         }
         assert a == b
+
+
+class TestStratifiedValidation:
+    def test_out_of_range_rates_raise(self):
+        import pytest as _pytest
+
+        ds = rd.from_arrow(pa.table({"k": ["a"], "s": ["x"]}))
+        with _pytest.raises(ValueError):
+            sample.stratified_hash_sample(ds, "k", "s", {"x": 2000}, den=1000)
+        with _pytest.raises(ValueError):
+            sample.stratified_hash_sample(ds, "k", "s", {"x": -1}, den=1000)
+        with _pytest.raises(ValueError):
+            sample.stratified_hash_sample(
+                ds, "k", "s", {"x": 5}, default_num=-3, den=1000
+            )

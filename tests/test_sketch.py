@@ -117,3 +117,56 @@ class TestBloomPrunePath:
         assert len(want) == 5  # fixture is live
         monkeypatch.setattr(exact, "BLOOM_KEY_LIMIT", 0)
         assert groups() == want
+
+    def test_allow_bloom_false_forces_exact_semi(self, ray_session, monkeypatch):
+        """Terminal consumers (exact_dup_media) must get the exact
+        semi-join even past BLOOM_KEY_LIMIT — allow_bloom=False routes
+        around the Bloom regime entirely (ADVICE r3 medium)."""
+        import ray.data as rd
+
+        from doppel_ray.stages import exact
+
+        called = {"bloom": 0}
+        real_bloom = exact.bloom_semi_filter
+
+        def spy(ds, key, values):
+            called["bloom"] += 1
+            return real_bloom(ds, key, values)
+
+        monkeypatch.setattr(exact, "bloom_semi_filter", spy)
+        monkeypatch.setattr(exact, "BLOOM_KEY_LIMIT", 0)
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "k": pa.array(["a", "a", "b", "b", "c", "d"]),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(3)
+        rows = exact.prune_singletons(ds, "k", allow_bloom=False).take_all()
+        assert called["bloom"] == 0
+        assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
+        # default path still takes the Bloom regime past the limit
+        ds2 = rd.from_arrow(t).repartition(3)
+        rows2 = exact.prune_singletons(ds2, "k").take_all()
+        assert called["bloom"] == 1
+        assert {r["doc_id"] for r in rows2} >= {0, 1, 2, 3}
+
+    def test_exact_dup_media_terminal_no_bloom(self, ray_session, monkeypatch):
+        """exact_dup_media is terminal: with BLOOM_KEY_LIMIT forced to 0
+        its output must still be exactly the duplicated-payload rows."""
+        import ray.data as rd
+
+        from doppel_ray.stages import exact, multimodal as M
+
+        monkeypatch.setattr(exact, "BLOOM_KEY_LIMIT", 0)
+        payloads = [b"img-%d" % i for i in range(20)]
+        payloads[3] = payloads[7] = b"same-bytes"
+        t = pa.table(
+            {
+                "media_id": pa.array(range(20), pa.int64()),
+                "image": pa.array(payloads, pa.large_binary()),
+            }
+        )
+        rows = M.exact_dup_media(rd.from_arrow(t).repartition(4)).take_all()
+        assert sorted(r["media_id"] for r in rows) == [3, 7]
