@@ -189,9 +189,10 @@ def default_registry() -> FormatterRegistry:
 def resolve_output(dest: str):
     """stdout/stderr/path routing (cmd/find.go:234-266). Returns (stream,
     should_close)."""
-    if dest in ("", "stdout", "-"):
+    # stdout/stderr route case-insensitively (strings.ToLower in find.go)
+    if dest in ("", "-") or dest.lower() == "stdout":
         return sys.stdout, False
-    if dest == "stderr":
+    if dest.lower() == "stderr":
         return sys.stderr, False
     path = os.path.normpath(dest)
     if path == ".":

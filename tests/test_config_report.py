@@ -189,6 +189,19 @@ class TestReport:
         out, close = R.resolve_output(".")
         out.close()
         assert (tmp_path / R.DEFAULT_REPORT_FILE).exists()
+        # "./." cleans to "." too (filepath.Clean parity)
+        out, close = R.resolve_output("./.")
+        out.close()
+        assert close
+        # stdout/stderr match case-insensitively (strings.ToLower,
+        # cmd/find.go:238-240)
+        import sys as _sys
+
+        for alias in ("STDOUT", "Stdout"):
+            out, close = R.resolve_output(alias)
+            assert out is _sys.stdout and not close
+        out, close = R.resolve_output("STDERR")
+        assert out is _sys.stderr and not close
 
 
 class TestNearReportMerge:
