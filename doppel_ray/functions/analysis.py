@@ -154,3 +154,42 @@ def fingerprint_sketch(
         wh = np.unique(S.window_hashes(b, w))
         out.append(wh[:k])
     return out
+
+
+# ------------------------------------------------------------ PII masking
+
+# PII patterns shared VERBATIM with the SQL oracles (both sides are RE2:
+# pyarrow.compute and DuckDB) — the proven token_stats technique. Masking
+# order matters and is fixed: EMAIL first (its local/domain parts contain
+# digits and dots that the IP/phone patterns would otherwise chew on),
+# then PHONE (dashes only, so it can't overlap IPv4), then IP.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: (pattern, replacement) in application order
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (IPV4_RE, "<IP>"),
+)
+
+
+def pii_counts(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    """Per-doc match counts for each PII family (vectorized RE2),
+    counted on the ORIGINAL text before any masking."""
+    return {
+        "n_email": token_counts(texts, EMAIL_RE),
+        "n_phone": token_counts(texts, PHONE_RE),
+        "n_ip": token_counts(texts, IPV4_RE),
+    }
+
+
+def mask_pii(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Replace every PII match with its typed placeholder — the
+    redaction primitive of a training-data pipeline. One vectorized
+    RE2 replace per rule; rule order per ``PII_RULES``."""
+    out = texts
+    for pattern, repl in PII_RULES:
+        out = pc.replace_substring_regex(out, pattern=pattern, replacement=repl)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

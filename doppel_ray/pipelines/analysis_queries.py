@@ -639,3 +639,155 @@ def doc_chunks(sf_dir: str):
             ]
         ),
     )
+
+
+# Deterministic per-doc augmentation shared by the PII and boilerplate
+# queries: the synthetic documents carry no emails/phones/IPs and no
+# newlines, so each query derives its test surface FROM the data with
+# the same expression on both sides (Ray and SQL) — the contaminated_docs
+# technique — making the driver check non-vacuous by construction.
+
+
+def _pii_augment_sql() -> str:
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.1 tel 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+@query(
+    "pii_masked",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id, {_pii_augment_sql()} AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{A.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{A.PHONE_RE}', '<PHONE>', 'g'),
+             '{A.IPV4_RE}', '<IP>', 'g') AS masked,
+           length(regexp_extract_all(t, '{A.EMAIL_RE}'))::BIGINT AS n_email,
+           length(regexp_extract_all(t, '{A.PHONE_RE}'))::BIGINT AS n_phone,
+           length(regexp_extract_all(t, '{A.IPV4_RE}'))::BIGINT AS n_ip
+    FROM aug
+    """,
+)
+def pii_masked(sf_dir: str):
+    """PII redaction (functions/analysis.py PII_RULES): typed
+    placeholders for emails, dashed phone numbers and IPv4 addresses,
+    plus per-doc match counts — identical RE2 patterns and replacement
+    order on both sides. One vectorized replace per rule, no shuffle."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        aug = (
+            batch["text"].to_pandas()
+            + " contact user"
+            + ids.astype(str)
+            + "@ex"
+            + (ids % 7).astype(str)
+            + ".org ip 10."
+            + (ids % 256).astype(str)
+            + ".0.1 tel 415-555-"
+            + (ids % 10000).astype(str).str.zfill(4)
+        )
+        t = pa.array(aug, type=pa.string())
+        counts = A.pii_counts(t)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "masked": A.mask_pii(t),
+                "n_email": pa.array(counts["n_email"]),
+                "n_phone": pa.array(counts["n_phone"]),
+                "n_ip": pa.array(counts["n_ip"]),
+            }
+        )
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("masked", pa.string()),
+                ("n_email", pa.int64()),
+                ("n_phone", pa.int64()),
+                ("n_ip", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "boilerplate_lines",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             'NAV HOME LOGIN' || chr(10) || text || chr(10) ||
+             'FOOTER SECTION ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+             'UNIQUE TAIL ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+    lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)
+    ),
+    freq AS (
+      SELECT line FROM lines WHERE line <> ''
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS is_freq
+      FROM lines l LEFT JOIN freq f ON l.line = f.line
+    )
+    SELECT doc_id,
+           coalesce(
+             string_agg(CASE WHEN NOT is_freq THEN line END,
+                        chr(10) ORDER BY pos), '') AS text_clean,
+           sum(CASE WHEN is_freq THEN 1 ELSE 0 END)::BIGINT AS n_removed
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_lines(sf_dir: str):
+    """Line-level boilerplate dedup (stages/linededup.py): non-empty
+    lines appearing in >= 2 distinct documents are stripped, the doc is
+    reassembled, and the removed-line count reported. The nav/footer
+    lines injected identically on both sides play the repeated
+    boilerplate (df 500 and ~N/3 at sf0.01); each doc's body line and
+    unique tail survive."""
+    from doppel_ray.stages import linededup
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        aug = (
+            "NAV HOME LOGIN\n"
+            + batch["text"].to_pandas()
+            + "\nFOOTER SECTION "
+            + (ids % 3).astype(str)
+            + "\nUNIQUE TAIL "
+            + ids.astype(str)
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(aug, type=pa.string())}
+        )
+
+    aug_ds = ds.map_batches(augment, batch_format="pyarrow")
+    out = linededup.remove_boilerplate_lines(aug_ds, min_docs=2).select_columns(
+        ["doc_id", "text_clean", "n_removed"]
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_clean", pa.string()),
+                ("n_removed", pa.int64()),
+            ]
+        ),
+    )

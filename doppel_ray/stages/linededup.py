@@ -1,0 +1,146 @@
+"""Line-level (boilerplate) deduplication — the RefinedWeb/CCNet-style
+cleanup that strips navigation bars, cookie banners and footers repeated
+across many pages, applied per LINE rather than per document.
+
+Shape (scale notes inline):
+
+1. **count** — one ``map_batches`` explodes each doc into its non-empty
+   lines via a vectorized Arrow split, dedupes ``(line, doc)`` pairs
+   inside the batch (a doc is one row, so in-batch dedupe is globally
+   exact), and ships only the line strings into a ``groupby(line)``
+   count. The shuffle carries distinct (line, doc) pairs — bounded by
+   corpus line volume, never payload bytes, and pre-deduped per batch.
+2. **broadcast** — lines whose distinct-doc count >= ``min_docs`` are
+   collected and broadcast once (``ray.put``). The broadcast is bounded
+   by BOILERPLATE volume (lines repeated across documents), not corpus
+   size — the same bound decontamination relies on for its benchmark
+   gram set (stages/decontam.py). A corpus whose every line repeats
+   would degenerate; ``frequent_limit`` guards that with a clear error
+   instead of a silent driver OOM.
+3. **rewrite** — one ``map_batches`` splits again (same Arrow kernel),
+   drops lines in the broadcast set, and reassembles with ``\\n``. Empty
+   lines are never counted or removed (they're structure, not content).
+
+The counting key is the full line STRING, not a hash — exact semantics
+with zero collision caveats; the lines shuffled are pre-deduped and the
+broadcast set is exact.
+
+Reference framing: this generalizes the reference's duplicate GROUPing
+(finder.go:47-106) from whole files to intra-document lines — the unit a
+web-corpus pipeline actually needs deduplicated for training data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from doppel_ray.stages.util import collect_table
+
+#: broadcast-set guard: more frequent lines than this means the corpus
+#: is pathological for the broadcast regime; fail loudly
+DEFAULT_FREQUENT_LIMIT = 50_000_000
+
+
+def _split_lines(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    return pc.split_pattern(arr, pattern="\n")
+
+
+def frequent_lines(
+    ds: Dataset,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    frequent_limit: int = DEFAULT_FREQUENT_LIMIT,
+) -> pa.Array:
+    """Distinct non-empty lines appearing in >= ``min_docs`` documents."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lines = _split_lines(batch[text_col])
+        flat = pc.list_flatten(lines)
+        row_idx = np.repeat(
+            np.arange(len(lines), dtype=np.int64),
+            np.asarray(pc.list_value_length(lines).fill_null(0)),
+        )
+        t = pa.table({"line": flat, "row": pa.array(row_idx)})
+        t = t.filter(pc.not_equal(t["line"], ""))
+        # in-batch (line, doc) dedupe: each doc is a single row, so this
+        # makes the shipped pairs globally distinct
+        df = t.to_pandas().drop_duplicates()
+        return pa.table({"line": pa.array(df["line"], type=pa.string())})
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Count(alias_name="df"))
+    )
+    freq = counts.filter(expr=f"df >= {int(min_docs)}").select_columns(["line"])
+    t = collect_table(freq)
+    if t.num_rows > frequent_limit:
+        raise RuntimeError(
+            f"{t.num_rows} frequent lines exceed frequent_limit="
+            f"{frequent_limit}; the broadcast regime does not fit this "
+            f"corpus — raise min_docs or the limit"
+        )
+    return t["line"].combine_chunks() if t.num_rows else pa.array([], type=pa.string())
+
+
+def remove_boilerplate_lines(
+    ds: Dataset,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    removed_col: str = "n_removed",
+    frequent_limit: int = DEFAULT_FREQUENT_LIMIT,
+) -> Dataset:
+    """Rewrite ``text_col``: drop every non-empty line that appears in
+    >= ``min_docs`` distinct documents; append the cleaned text and the
+    per-doc removed-line count."""
+    freq = frequent_lines(
+        ds, min_docs=min_docs, text_col=text_col, frequent_limit=frequent_limit
+    )
+    ref = ray.put(freq)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        from doppel_ray.stages.util import cached_get
+
+        bad: pa.Array = cached_get(ref)
+        lines = _split_lines(batch[text_col])
+        flat = pc.list_flatten(lines)
+        n_per_row = np.asarray(pc.list_value_length(lines).fill_null(0))
+        drop = pc.is_in(flat, value_set=bad).to_numpy(zero_copy_only=False)
+        # empty lines are never removed (and can't be in `bad`)
+        removed = np.zeros(len(lines), dtype=np.int64)
+        np.add.at(
+            removed,
+            np.repeat(np.arange(len(lines), dtype=np.int64), n_per_row),
+            drop.astype(np.int64),
+        )
+        flat_py = flat.to_pylist()
+        out_texts = []
+        pos = 0
+        for n in n_per_row:
+            kept = [
+                flat_py[pos + j] for j in range(n) if not drop[pos + j]
+            ]
+            out_texts.append("\n".join(kept))
+            pos += n
+        out = batch
+        for name, arr in (
+            (out_col, pa.array(out_texts, type=pa.string())),
+            (removed_col, pa.array(removed)),
+        ):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -1,0 +1,185 @@
+"""Line-level boilerplate dedup (stages/linededup.py) and PII masking
+(functions/analysis.py PII_RULES) — semantics, scale-guard, and DuckDB
+parity for the shared RE2 patterns."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from doppel_ray.functions import analysis as A
+from doppel_ray.stages import linededup
+
+
+def _docs(texts: list[str]) -> rd.Dataset:
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    return rd.from_arrow(t).repartition(3)
+
+
+class TestLineDedup:
+    def test_repeated_lines_removed_unique_kept(self, ray_session):
+        texts = [
+            "HEADER\nbody one\nFOOTER",
+            "HEADER\nbody two\nFOOTER",
+            "HEADER\nbody three\nFOOTER\nextra",
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.remove_boilerplate_lines(
+                _docs(texts), min_docs=2
+            ).take_all()
+        }
+        assert out[0]["text_clean"] == "body one"
+        assert out[1]["text_clean"] == "body two"
+        assert out[2]["text_clean"] == "body three\nextra"
+        assert all(r["n_removed"] == 2 for r in out.values())
+
+    def test_empty_lines_never_counted_or_removed(self, ray_session):
+        texts = ["a\n\nb", "c\n\nd", "e\n\nf"]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.remove_boilerplate_lines(
+                _docs(texts), min_docs=2
+            ).take_all()
+        }
+        # "" appears in all 3 docs but must survive (it's structure)
+        assert out[0]["text_clean"] == "a\n\nb"
+        assert all(r["n_removed"] == 0 for r in out.values())
+
+    def test_repeat_within_one_doc_not_frequent(self, ray_session):
+        # df counts DISTINCT docs: a line repeated inside one doc only
+        # is not boilerplate
+        texts = ["same\nsame\nsame", "other\nlines\nhere"]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.remove_boilerplate_lines(
+                _docs(texts), min_docs=2
+            ).take_all()
+        }
+        assert out[0]["text_clean"] == "same\nsame\nsame"
+        assert out[0]["n_removed"] == 0
+
+    def test_all_lines_removed_yields_empty_text(self, ray_session):
+        texts = ["only", "only"]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.remove_boilerplate_lines(
+                _docs(texts), min_docs=2
+            ).take_all()
+        }
+        assert out[0]["text_clean"] == "" and out[0]["n_removed"] == 1
+
+    def test_frequent_limit_guard(self, ray_session):
+        texts = ["dup\nx", "dup\ny"]
+        with pytest.raises(RuntimeError, match="frequent_limit"):
+            linededup.remove_boilerplate_lines(
+                _docs(texts), min_docs=2, frequent_limit=0
+            ).take_all()
+
+    def test_matches_duckdb_on_random_corpus(self, ray_session):
+        """Full parity on a corpus with mixed-frequency lines."""
+        import duckdb
+
+        rng = np.random.default_rng(23)
+        pool = [f"line {i}" for i in range(12)]
+        texts = [
+            "\n".join(rng.choice(pool, size=rng.integers(2, 6)))
+            for _ in range(40)
+        ]
+        got = sorted(
+            (r["doc_id"], r["text_clean"], r["n_removed"])
+            for r in linededup.remove_boilerplate_lines(
+                _docs(texts), min_docs=3
+            ).take_all()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+        )
+        want = con.execute(
+            """
+            WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+            lines AS (
+              SELECT doc_id, i AS pos, ls[i] AS line
+              FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)
+            ),
+            freq AS (
+              SELECT line FROM lines WHERE line <> ''
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+            ),
+            marked AS (
+              SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS is_freq
+              FROM lines l LEFT JOIN freq f ON l.line = f.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT is_freq THEN line END,
+                            chr(10) ORDER BY pos), '') AS text_clean,
+                   sum(CASE WHEN is_freq THEN 1 ELSE 0 END)::BIGINT AS n_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+            """
+        ).fetchall()
+        assert got == [tuple(r) for r in want]
+
+
+class TestPIIMasking:
+    def test_mask_and_counts(self, ray_session):
+        texts = pa.array(
+            [
+                "mail a.b+c@foo-bar.example.org now",
+                "call 415-555-0042 or 212-555-1234",
+                "host 10.0.0.1 and 192.168.255.3",
+                "clean text with no pii at all",
+                "combo bob@x.io via 10.1.2.3 tel 650-555-9999",
+            ]
+        )
+        masked = A.mask_pii(texts).to_pylist()
+        assert masked[0] == "mail <EMAIL> now"
+        assert masked[1] == "call <PHONE> or <PHONE>"
+        assert masked[2] == "host <IP> and <IP>"
+        assert masked[3] == "clean text with no pii at all"
+        assert masked[4] == "combo <EMAIL> via <IP> tel <PHONE>"
+        c = A.pii_counts(texts)
+        assert c["n_email"].tolist() == [1, 0, 0, 0, 1]
+        assert c["n_phone"].tolist() == [0, 2, 0, 0, 1]
+        assert c["n_ip"].tolist() == [0, 0, 2, 0, 1]
+
+    def test_email_masked_before_ip_phone(self, ray_session):
+        # an email whose domain looks IP-ish must be consumed by the
+        # EMAIL rule, not double-masked
+        out = A.mask_pii(pa.array(["x user1@10.0.0.1.example.com y"])).to_pylist()
+        assert out == ["x <EMAIL> y"]
+
+    def test_duckdb_pattern_parity(self, ray_session):
+        import duckdb
+
+        texts = [
+            "a@b.co 1.2.3.4 415-555-0000",
+            "no pii",
+            "deep.name+tag@sub.domain.io and 255.255.255.255",
+        ]
+        got = A.mask_pii(pa.array(texts)).to_pylist()
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                f"""SELECT regexp_replace(regexp_replace(regexp_replace(?,
+                    '{A.EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{A.PHONE_RE}', '<PHONE>', 'g'),
+                    '{A.IPV4_RE}', '<IP>', 'g')""",
+                [t],
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want
