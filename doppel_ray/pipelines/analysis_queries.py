@@ -791,3 +791,100 @@ def boilerplate_lines(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "url_dup_groups",
+    # Canonicalization computed GENERICALLY in SQL (same five rules as
+    # functions/urls.py, not the expected constants), over crawl-alias
+    # URL variants derived identically on both sides from doc_id: four
+    # aliases (default port + trailing slash + param order + fragment +
+    # case) of the same logical page per doc_id // 4.
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'http://Example.com:80/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1'
+               WHEN 1 THEN 'HTTP://example.COM/page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+               WHEN 2 THEN 'http://example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '//?b=2&a=1#frag'
+               ELSE 'http://example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+             END AS u
+      FROM documents
+    ),
+    nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM aug),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1) AS pth,
+        CASE WHEN strpos(u, '?') > 0 THEN regexp_extract(u, '\?(.*)$', 1) END AS q
+      FROM nofrag
+    ),
+    norm AS (
+      SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+             ELSE auth END AS auth,
+        CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(pth, '/+$', '') END AS pth,
+        q
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' || auth || pth ||
+        CASE WHEN q IS NOT NULL
+             THEN '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+             ELSE '' END AS canon_url
+      FROM norm
+    )
+    SELECT canon_url, min(doc_id) AS first_id, count(*)::BIGINT AS cnt
+    FROM canon GROUP BY canon_url
+    """,
+)
+def url_dup_groups(sf_dir: str):
+    """URL-level dedup via canonicalization (functions/urls.py): crawl
+    aliases of the same page collapse to one canonical URL; groups keyed
+    on it with first-seen id and member count. One vectorized
+    canonicalize pass + a narrow canonical-URL groupby."""
+    from doppel_ray.functions import urls as U
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        variant = (ids % 4).to_numpy()
+        page = (ids // 4).astype(str)
+        raw = np.select(
+            [variant == 0, variant == 1, variant == 2],
+            [
+                "http://Example.com:80/page/" + page + "/?b=2&a=1",
+                "HTTP://example.COM/page/" + page + "?a=1&b=2",
+                "http://example.com/page/" + page + "//?b=2&a=1#frag",
+            ],
+            default="http://example.com/page/" + page + "?a=1&b=2",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canon_url": U.canonicalize_urls(pa.array(raw, type=pa.string())),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    g = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("canon_url")
+        .aggregate(Min("doc_id", alias_name="first_id"), Count(alias_name="cnt"))
+    )
+    return finalize(
+        g,
+        pa.schema(
+            [
+                ("canon_url", pa.string()),
+                ("first_id", pa.int64()),
+                ("cnt", pa.int64()),
+            ]
+        ),
+    )

@@ -442,6 +442,109 @@ def near_dedup_keep_first(sf_dir: str):
 
 
 @query(
+    "near_dedup_keep_best",
+    # Same cluster base as near_dedup_keep_first; the kept representative
+    # is the member with the MOST whitespace tokens (ties -> min doc_id)
+    # — the "keep the longest/best version" curation policy, which only
+    # differs from keep-first when near-dup members have unequal length.
+    r"""
+    WITH RECURSIVE
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+      WHERE strlen(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL
+      SELECT id_b, id_a FROM pr
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (SELECT a AS node, least(min(b), a) AS label FROM reach GROUP BY a),
+    scored AS (
+      SELECT l.label, d.doc_id,
+             length(regexp_extract_all(d.text, '\S+')) AS ntok
+      FROM lab l JOIN documents d ON d.doc_id = l.node
+    ),
+    best AS (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY label ORDER BY ntok DESC, doc_id
+      ) AS rn FROM scored
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM lab)
+    UNION ALL
+    SELECT doc_id FROM best WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def near_dedup_keep_best(sf_dir: str):
+    """Near-dedup keeping the BEST member per cluster — the curation
+    policy a training pipeline actually wants (keep the longest version
+    of a boilerplate-trimmed page, not whichever crawled first). Best =
+    max whitespace-token count, ties broken by min doc_id; unclustered
+    docs always survive. Token counts are computed only for clustered
+    docs (a narrow broadcast-filtered pass bounded by cluster volume)."""
+    from doppel_ray.functions import analysis as A
+
+    ds = _docs_as_pages(sf_dir)
+    edges = minhash.near_dup_edges(ds, minhash.MinHashConfig())
+    labels = cluster.cluster_edges(edges)
+    clustered = set(labels)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        mask = pa.array([u in clustered for u in batch["url"].to_pylist()])
+        sub = batch.filter(mask)
+        return pa.table(
+            {
+                "url": sub["url"],
+                "ntok": pa.array(A.token_counts(sub["text"])),
+            }
+        )
+
+    best: dict[str, tuple] = {}
+    for r in ds.map_batches(toks, batch_format="pyarrow").take_all():
+        lab = labels[r["url"]]
+        key = (-r["ntok"], r["url"])
+        if lab not in best or key < best[lab]:
+            best[lab] = key
+    keep_clustered = {u for _, u in best.values()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                u not in clustered or u in keep_clustered
+                for u in batch["url"].to_pylist()
+            ]
+        )
+        return batch.filter(mask)
+
+    kept = ds.map_batches(keep, batch_format="pyarrow").select_columns(["url"])
+    rows = sorted(int(r["url"]) for r in kept.take_all())
+    return pa.table({"doc_id": pa.array(rows, type=pa.int64())})
+
+
+@query(
     "incremental_near_dedup",
     # Same exact-Jaccard rule (DISTINCT 5-char shingles of the normalized
     # text, 5i >= 4u integer arithmetic) as the minhash_near_dup oracle,

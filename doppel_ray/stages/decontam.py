@@ -44,6 +44,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -61,20 +62,37 @@ _POLY_B = np.uint64(0x9E3779B97F4A7C15)
 _TOKEN_RE = r"[^\t\n\f\r ]+"
 
 
-def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """One C-regex pass over the batch -> (flat token array, per-doc counts)."""
-    s = pd.Series(pa.chunked_array([texts]).to_pandas() if isinstance(texts, pa.Array) else texts.to_pandas())
-    lists = s.str.findall(_TOKEN_RE)
-    # null texts leave NaN in `lists` (str.len() -> NaN -> fillna 0):
-    # treat them as empty docs, never crash the pipeline on them
-    counts = lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-    flat = (
-        np.concatenate(
-            [np.asarray(x, dtype=object) for x in lists if isinstance(x, list) and x]
-        )
-        if counts.sum()
-        else np.empty(0, dtype=object)
+#: the RE2 \s class, spelled out (see _TOKEN_RE note)
+_WS_CHARS = "\t\n\f\r "
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """All-Arrow tokenization -> (flat token Array, per-doc counts).
+
+    Collapse whitespace runs (RE2 C kernel) -> trim -> literal split —
+    token boundaries identical to ``findall('[^\\t\\n\\f\\r ]+')`` but
+    with ZERO per-token Python objects (the round-3 pandas
+    ``str.findall`` built millions of CPython strings per batch and its
+    allocator churn capped multi-worker scaling at ~0.4x of linear;
+    measured 17.9s -> 6.6s at 8 CPUs, 11.1s -> 2.4s at 32 on the 800k
+    pure scan). Null texts are empty docs, never a crash."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    arr = pc.fill_null(arr, "")
+    norm = pc.replace_substring_regex(
+        arr, pattern=f"[{_WS_CHARS}]+", replacement=" "
     )
+    norm = pc.utf8_trim(norm, characters=_WS_CHARS)
+    lists = pc.split_pattern(norm, pattern=" ")
+    nonempty = pc.not_equal(norm, "").to_numpy(zero_copy_only=False)
+    counts = np.where(
+        nonempty,
+        pc.list_value_length(lists).to_numpy(zero_copy_only=False),
+        0,
+    ).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if len(flat) != counts.sum():
+        # whitespace-only/empty docs split to [""] — drop those artifacts
+        flat = flat.filter(pc.not_equal(flat, ""))
     return flat, counts
 
 
@@ -94,9 +112,12 @@ def _ngram_hashes(
     doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     # hash the (Zipf-small) vocabulary once and scatter by code — ~10x
     # cheaper than hashing the flat stream (measured 5.1s -> 0.5s per
-    # 2.4M tokens / 5.5k vocab)
-    codes, uniq = pd.factorize(flat)
-    th = sip64(pd.Series(uniq, dtype=object)).astype(np.uint64)[codes]
+    # 2.4M tokens / 5.5k vocab); dictionary_encode is the Arrow-native
+    # factorize (C, no Python objects)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pandas().astype(object)
+    th = sip64(uniq).astype(np.uint64)[codes]
     m = total - n + 1
     h = th[:m].copy()
     with np.errstate(over="ignore"):
@@ -120,10 +141,13 @@ def _gram_pairs(
         return pa.table(
             {"h": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
         )
+    # benchmark side only: small by construction (tolerates numpy input
+    # for direct kernel tests)
+    fp = flat.to_pylist() if isinstance(flat, pa.Array) else list(flat)
     df = pd.DataFrame(
         {
             "h": h.view(np.int64),
-            "g": [" ".join(flat[s : s + n]) for s in starts],
+            "g": [" ".join(fp[s : s + n]) for s in starts],
         }
     ).drop_duplicates()
     return pa.table({"h": pa.array(df["h"]), "g": pa.array(df["g"])})
@@ -185,8 +209,9 @@ class _NgramMatcher:
         for k in cand:
             if mask[doc_of[k]]:
                 continue  # doc already flagged; skip the string rebuild
-            s = starts[k]
-            if " ".join(flat[s : s + n_]) in grams:
+            s = int(starts[k])
+            # zero-copy slice; only candidate windows ever materialize
+            if " ".join(flat.slice(s, n_).to_pylist()) in grams:
                 mask[doc_of[k]] = True
         return mask
 

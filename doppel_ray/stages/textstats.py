@@ -93,11 +93,11 @@ def repetition_features(
     total = len(flat)
     if total < n:
         return out
-    import pandas as pd
-
-    codes, uniq = pd.factorize(flat)
-    codes = codes.astype(np.int64)
-    V = np.int64(len(uniq))
+    # Arrow-native factorize (decontam._flat_tokens now returns an Arrow
+    # array — no Python token objects anywhere in this path)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = np.int64(len(enc.dictionary))
     doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
     m = total - n + 1
     # exact n-gram key: base-V positional code (int64; V^n * ndocs can
@@ -189,6 +189,8 @@ def chunk_documents(
         import numpy as np
 
         flat, counts = _flat_tokens(batch[text_col])
+        # chunk text must materialize anyway; one bulk conversion
+        flat = flat.to_pylist()
         ids = batch[id_col]
         rows_id, rows_ci, rows_nt, rows_tx = [], [], [], []
         base = 0

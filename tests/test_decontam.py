@@ -154,7 +154,7 @@ def test_null_texts_treated_as_empty():
         pa.chunked_array([pa.array(["a b c", None, "d e"])])
     )
     assert counts.tolist() == [3, 0, 2]
-    assert list(flat) == ["a", "b", "c", "d", "e"]
+    assert flat.to_pylist() == ["a", "b", "c", "d", "e"]
     bench = rd.from_arrow(pa.table({"text": pa.array(["a b", None])}))
     train = _mk([(1, "x a b y"), (2, None), (3, "z w")])
     ids = {r["doc_id"] for r in D.contaminated_ids(train, bench, n=2).take_all()}
@@ -194,4 +194,4 @@ def test_nbsp_tokenization_matches_re2_oracle():
     want = duckdb.connect().execute(
         r"SELECT regexp_extract_all(?, '\S+')", [text]
     ).fetchone()[0]
-    assert list(flat) == want == ["x\xa0y", "z"]
+    assert flat.to_pylist() == want == ["x\xa0y", "z"]

@@ -183,3 +183,86 @@ class TestPIIMasking:
             for t in texts
         ]
         assert got == want
+
+
+class TestUrlCanonicalization:
+    def test_rules(self, ray_session):
+        from doppel_ray.functions import urls as U
+
+        got = U.canonicalize_urls(
+            pa.array(
+                [
+                    "HTTP://Example.COM:80/A/b/?z=1&a=2#frag",
+                    "https://host.io:443/x",
+                    "https://host.io:8443/x",          # non-default port kept
+                    "http://a.b/p///",
+                    "http://a.b",                       # empty path -> /
+                    "http://a.b/?",                     # empty query kept
+                    "not a url at all",                 # passthrough
+                    "ftp://Mixed.Case/Path/",           # unknown scheme: no port rule
+                ]
+            )
+        ).to_pylist()
+        assert got == [
+            "http://example.com/A/b?a=2&z=1",
+            "https://host.io/x",
+            "https://host.io:8443/x",
+            "http://a.b/p",
+            "http://a.b/",
+            "http://a.b/?",
+            "not a url at all",
+            "ftp://mixed.case/Path",
+        ]
+
+    def test_duckdb_parity(self, ray_session):
+        """The generic SQL canonicalization (url_dup_groups oracle) and
+        the Python kernel agree on adversarial inputs."""
+        import duckdb
+
+        from doppel_ray.functions import urls as U
+
+        fixtures = [
+            "HTTP://Example.COM:80/A/b/?z=1&a=2#frag",
+            "https://host.io:443/x?x=1",
+            "https://host.io:8443/x",
+            "http://a.b/p///",
+            "http://a.b",
+            "http://UPPER.host/Q?c=3&b=2&a=1",
+            "http://h/path?single",
+            "http://h:80/",
+        ]
+        got = U.canonicalize_urls(pa.array(fixtures)).to_pylist()
+        con = duckdb.connect()
+        con.register("t", pa.table({"u": pa.array(fixtures)}))
+        want = [
+            r[0]
+            for r in con.execute(
+                r"""
+            WITH nofrag AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM t),
+            parts AS (
+              SELECT u,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1) AS pth,
+                CASE WHEN strpos(u, '?') > 0 THEN regexp_extract(u, '\?(.*)$', 1) END AS q
+              FROM nofrag
+            ),
+            norm AS (
+              SELECT scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                     ELSE auth END AS auth,
+                CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(pth, '/+$', '') END AS pth,
+                q
+              FROM parts
+            )
+            SELECT scheme || '://' || auth || pth ||
+                   CASE WHEN q IS NOT NULL
+                        THEN '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+                        ELSE '' END
+            FROM norm
+            """
+            ).fetchall()
+        ]
+        assert got == want

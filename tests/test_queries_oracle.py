@@ -158,6 +158,50 @@ def test_dup_query_matches_oracle_nonvacuously(name, dup_con, dup_sf_dir):
             )
 
 
+# -- keep-best vs keep-first non-vacuity --------------------------------
+# near_dedup_keep_best only differs from keep-first when a cluster's
+# longest member is NOT its min id; the plain corpora never exercise
+# that, so inject a cluster where the HIGHER id is the longer doc.
+
+
+@pytest.fixture(scope="module")
+def best_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    texts = t["text"].to_pylist()
+    # doc 400 = doc 0's text plus a short tail: same cluster at tau=0.8
+    # (shingle Jaccard ~0.95), but 400 has MORE tokens than 0
+    texts[400] = texts[0] + " zq extra tail tokens appended here zq"
+    i = t.schema.get_field_index("text")
+    out = t.set_column(i, "text", pa.array(texts, type=t.schema.field("text").type))
+    d = tmp_path_factory.mktemp("best_sf")
+    pq.write_table(out, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_keep_best_prefers_longest_nonvacuously(best_sf_dir):
+    from doppel_ray import pipelines
+
+    con = duckdb.connect()
+    path = os.path.join(best_sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+
+    fn = pipelines.registry()["near_dedup_keep_best"]
+    sql = pipelines.oracles()["near_dedup_keep_best"]
+    got = _canon(_to_pandas(fn(best_sf_dir)))
+    want = _canon(con.execute(sql).df())
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    kept = set(got["doc_id"].tolist())
+    # best (longest) member 400 survives; first member 0 is dropped
+    assert 400 in kept and 0 not in kept
+    # keep-FIRST on the same corpus makes the opposite call
+    first = _to_pandas(pipelines.registry()["near_dedup_keep_first"](best_sf_dir))
+    kept_first = set(first["doc_id"].tolist())
+    assert 0 in kept_first and 400 not in kept_first
+
+
 def test_entry_smoke():
     import __ray_entry__ as e
 
