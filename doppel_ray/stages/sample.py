@@ -65,7 +65,8 @@ def hash_sample(
     ``method="sip64"`` is the fully vectorized production path (same
     determinism guarantees, no SQL twin).
     """
-    assert 0 <= num <= den
+    if not 0 <= num <= den:
+        raise ValueError(f"num must be in [0, {den}], got {num}")
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

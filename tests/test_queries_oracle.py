@@ -162,18 +162,38 @@ def test_dup_query_matches_oracle_nonvacuously(name, dup_con, dup_sf_dir):
 # near_dedup_keep_best only differs from keep-first when a cluster's
 # longest member is NOT its min id; the plain corpora never exercise
 # that, so inject a cluster where the HIGHER id is the longer doc.
+# The base/target docs MUST (a) be long enough that the appended tail
+# keeps exact shingle Jaccard >= tau=0.8, and (b) have no ORGANIC
+# near-dup partner in sf0.001 — doc 0, used by an earlier version of
+# this fixture, is short (J with its tailed copy = 0.73 < tau) AND
+# organically clustered with docs 50/82, which made keep_best drop it
+# for the wrong reason while keep_first kept both injected docs.
+# Docs 149 and 406 are the longest organically-unclustered ids
+# (539/538 shingles; tail adds ~42 -> J ~= 0.93 >= 0.8).
+
+BEST_BASE, BEST_TARGET = 149, 406
 
 
 @pytest.fixture(scope="module")
 def best_sf_dir(tmp_path_factory):
+    import re
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
     texts = t["text"].to_pylist()
-    # doc 400 = doc 0's text plus a short tail: same cluster at tau=0.8
-    # (shingle Jaccard ~0.95), but 400 has MORE tokens than 0
-    texts[400] = texts[0] + " zq extra tail tokens appended here zq"
+    texts[BEST_TARGET] = texts[BEST_BASE] + " zq extra tail tokens appended here zq"
+
+    # guard the fixture's own premise: the injected pair IS an edge
+    def shingles(s):
+        s = re.sub(r"\s+", " ", s.lower()).strip()
+        return {s[j : j + 5] for j in range(len(s) - 4)}
+
+    a, b = shingles(texts[BEST_BASE]), shingles(texts[BEST_TARGET])
+    j = len(a & b) / len(a | b)
+    assert j >= 0.85, f"fixture premise broken: J(base, target) = {j:.3f}"
+
     i = t.schema.get_field_index("text")
     out = t.set_column(i, "text", pa.array(texts, type=t.schema.field("text").type))
     d = tmp_path_factory.mktemp("best_sf")
@@ -194,12 +214,19 @@ def test_keep_best_prefers_longest_nonvacuously(best_sf_dir):
     want = _canon(con.execute(sql).df())
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     kept = set(got["doc_id"].tolist())
-    # best (longest) member 400 survives; first member 0 is dropped
-    assert 400 in kept and 0 not in kept
-    # keep-FIRST on the same corpus makes the opposite call
-    first = _to_pandas(pipelines.registry()["near_dedup_keep_first"](best_sf_dir))
+    # best (longest) member survives; the min-id member is dropped
+    assert BEST_TARGET in kept and BEST_BASE not in kept
+    # keep-FIRST on the same corpus makes the opposite call, and both
+    # policies agree with keep-first's own oracle
+    first = _canon(
+        _to_pandas(pipelines.registry()["near_dedup_keep_first"](best_sf_dir))
+    )
+    want_first = _canon(
+        con.execute(pipelines.oracles()["near_dedup_keep_first"]).df()
+    )
+    assert first["doc_id"].tolist() == want_first["doc_id"].tolist()
     kept_first = set(first["doc_id"].tolist())
-    assert 0 in kept_first and 400 not in kept_first
+    assert BEST_BASE in kept_first and BEST_TARGET not in kept_first
 
 
 def test_entry_smoke():
