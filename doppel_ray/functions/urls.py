@@ -63,3 +63,22 @@ def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     canon = canon.mask(has_q, canon + "?" + q)
     out = canon.where(parsed, orig)
     return pa.array(out, type=pa.string())
+
+
+#: host = authority up to the first ``:`` (port) — lowercased. Userinfo
+#: (``user@host``) is not split out; crawl URLs don't carry it.
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+
+
+def extract_hosts(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Lowercased host of each URL; empty string for rows that don't
+    parse as ``scheme://...`` (mirrored by the SQL
+    ``lower(regexp_extract(u, _HOST_RE, 1))``, which also yields ''
+    on no-match)."""
+    s = (
+        urls.to_pandas()
+        if isinstance(urls, (pa.Array, pa.ChunkedArray))
+        else pd.Series(urls)
+    ).astype(object)
+    host = s.str.extract(_HOST_RE, expand=False).str.lower().fillna("")
+    return pa.array(host, type=pa.string())

@@ -888,3 +888,229 @@ def url_dup_groups(sf_dir: str):
             ]
         ),
     )
+
+
+_DOMAIN_HOSTS = [
+    "news.example.com",
+    "blog.example.org",
+    "shop.example.net",
+    "wiki.example.io",
+    "docs.example.dev",
+]
+
+
+@query(
+    "domain_stats",
+    # host extracted GENERICALLY in SQL (same rule as functions/urls.py
+    # _HOST_RE), over per-doc URLs derived identically on both sides
+    rf"""
+    WITH aug AS (
+      SELECT n_chars,
+        'https://' || CASE doc_id % 5
+          WHEN 0 THEN '{_DOMAIN_HOSTS[0]}'
+          WHEN 1 THEN '{_DOMAIN_HOSTS[1]}'
+          WHEN 2 THEN '{_DOMAIN_HOSTS[2]}'
+          WHEN 3 THEN '{_DOMAIN_HOSTS[3]}'
+          ELSE '{_DOMAIN_HOSTS[4]}'
+        END || CASE WHEN doc_id % 10 < 5 THEN ':8443' ELSE '' END
+        || '/art/' || CAST(doc_id AS VARCHAR) AS u
+      FROM documents
+    ),
+    h AS (
+      SELECT lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS domain,
+             n_chars
+      FROM aug
+    )
+    SELECT domain, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM h GROUP BY domain
+    """,
+)
+def domain_stats(sf_dir: str):
+    """Per-domain corpus rollup (the stats a domain-level quality /
+    blocklist pass consumes): doc count and char-volume aggregates keyed
+    on the host extracted by functions/urls.py extract_hosts. One
+    map_batches + a narrow 5-key groupby — payload text never read.
+    Ports must NOT split domains (half the synthetic URLs carry one)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from doppel_ray.functions import urls as U
+
+    ds = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        host = np.asarray(_DOMAIN_HOSTS, dtype=object)[(ids % 5).to_numpy()]
+        port = np.where((ids % 10).to_numpy() < 5, ":8443", "")
+        raw = "https://" + host + port + "/art/" + ids.astype(str)
+        return pa.table(
+            {
+                "domain": U.extract_hosts(pa.array(raw, type=pa.string())),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    g = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+    return finalize(
+        g,
+        pa.schema(
+            [
+                ("domain", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+                ("min_chars", pa.int64()),
+                ("max_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
+# C4 cleaning needs multi-line pages with punctuation; the synthetic
+# docs are single-line and unpunctuated, so (as with pii_masked /
+# boilerplate_lines) both sides derive the same 4-line page from doc_id,
+# exercising every rule: short line, no-terminal-punct line, javascript
+# line, lorem-ipsum page, brace page, too-few-kept-lines page.
+from doppel_ray.stages import c4clean as C4  # noqa: E402
+
+_C4_LINE1 = "Leading sentence for document "
+_C4_LINE1_TAIL = " with plenty of words."
+_C4_L2 = [
+    "short one.",
+    "a line without any terminal punctuation mark here",
+    "Please enable JavaScript to continue reading this page.",
+    "A second well formed sentence appears right here.",
+]
+_C4_L3_HIT = "Third supporting sentence keeps this page in the corpus."
+_C4_L3_MISS = "also missing punctuation so it goes away"
+_C4_L4 = [
+    "Lorem ipsum dolor sit amet.",
+    "An object { literal } hides in this line.",
+    "Closing sentence ends with a question mark?",
+]
+
+
+@query(
+    "c4_clean_docs",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+        '{_C4_LINE1}' || CAST(doc_id AS VARCHAR) || '{_C4_LINE1_TAIL}'
+        || chr(10) ||
+        CASE doc_id % 4
+          WHEN 0 THEN '{_C4_L2[0]}'
+          WHEN 1 THEN '{_C4_L2[1]}'
+          WHEN 2 THEN '{_C4_L2[2]}'
+          ELSE '{_C4_L2[3]}'
+        END || chr(10) ||
+        CASE WHEN doc_id % 3 = 0 THEN '{_C4_L3_HIT}'
+             ELSE '{_C4_L3_MISS}' END || chr(10) ||
+        CASE doc_id % 13
+          WHEN 0 THEN '{_C4_L4[0]}'
+          WHEN 1 THEN '{_C4_L4[1]}'
+          ELSE '{_C4_L4[2]}'
+        END AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM aug),
+    lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)
+    ),
+    flags AS (
+      SELECT doc_id, pos, line,
+        regexp_matches(line, '{C4.TERMINAL_RE}')
+          AND length(regexp_extract_all(line, '{C4.WORD_RE}')) >= 5
+          AND NOT regexp_matches(line, '{C4.JAVASCRIPT_RE}') AS keep
+      FROM lines
+    ),
+    per_doc AS (
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN keep THEN line END,
+                            chr(10) ORDER BY pos), '') AS text_clean,
+        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+      FROM flags GROUP BY doc_id
+    ),
+    reasons AS (
+      SELECT p.doc_id, p.text_clean, p.n_kept, p.n_dropped,
+        CASE
+          WHEN regexp_matches(a.t, '{C4.LOREM_RE}') THEN '{C4.REASON_LOREM}'
+          WHEN strpos(a.t, chr(123)) > 0 THEN '{C4.REASON_BRACE}'
+          WHEN p.n_kept < 3 THEN '{C4.REASON_FEW}'
+          ELSE '' END AS drop_reason
+      FROM per_doc p JOIN aug a USING (doc_id)
+    )
+    SELECT doc_id, text_clean, n_kept, n_dropped,
+           drop_reason = '' AS kept, drop_reason
+    FROM reasons
+    """,
+)
+def c4_clean_docs(sf_dir: str):
+    """C4-style cleaning (stages/c4clean.py): line filter (terminal
+    punctuation + >= 5 words + no "javascript"), page drops (lorem
+    ipsum / brace / < 3 surviving lines), cleaned text and counts.
+    One map_batches pass, RE2 kernels shared verbatim with the SQL,
+    no shuffle."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        m4, m3, m13 = (
+            (ids % 4).to_numpy(),
+            (ids % 3).to_numpy(),
+            (ids % 13).to_numpy(),
+        )
+        l2 = np.select(
+            [m4 == 0, m4 == 1, m4 == 2],
+            [_C4_L2[0], _C4_L2[1], _C4_L2[2]],
+            default=_C4_L2[3],
+        )
+        l3 = np.where(m3 == 0, _C4_L3_HIT, _C4_L3_MISS)
+        l4 = np.select(
+            [m13 == 0, m13 == 1], [_C4_L4[0], _C4_L4[1]], default=_C4_L4[2]
+        )
+        t = (
+            _C4_LINE1
+            + ids.astype(str)
+            + _C4_LINE1_TAIL
+            + "\n"
+            + l2
+            + "\n"
+            + l3
+            + "\n"
+            + l4
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t, type=pa.string())}
+        )
+
+    out = C4.c4_clean(
+        ds.map_batches(augment, batch_format="pyarrow")
+    ).select_columns(
+        ["doc_id", "text_clean", "n_kept", "n_dropped", "kept", "drop_reason"]
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_clean", pa.string()),
+                ("n_kept", pa.int64()),
+                ("n_dropped", pa.int64()),
+                ("kept", pa.bool_()),
+                ("drop_reason", pa.string()),
+            ]
+        ),
+    )

@@ -545,6 +545,136 @@ def near_dedup_keep_best(sf_dir: str):
 
 
 @query(
+    "curation_funnel",
+    # End-to-end curation funnel: quality gate (same integer rule as
+    # quality_filter_count) -> exact keep-first -> near keep-first
+    # (same exact-Jaccard base + transitive closure as
+    # near_dedup_keep_first, run over the exact survivors). Running the
+    # near stage AFTER exact dedup is count-equivalent to running it on
+    # the full quality set: an exact duplicate has the identical shingle
+    # set as its kept twin, so removing it can't disconnect a cluster,
+    # and each cluster's min id is always an exact survivor.
+    rf"""
+    WITH RECURSIVE
+    q AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE length(regexp_extract_all(text, '\S+')) >= 10
+        AND 10 * length(regexp_extract_all(text, '[^\w\s]')) <= length(text)
+    ),
+    ex AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text
+    ),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM ex
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+      WHERE strlen(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL
+      SELECT id_b, id_a FROM pr
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (SELECT a AS node, least(min(b), a) AS label FROM reach GROUP BY a)
+    SELECT 0::BIGINT AS stage_idx, 'input' AS stage,
+           (SELECT count(*) FROM documents)::BIGINT AS n_docs
+    UNION ALL
+    SELECT 1::BIGINT, 'quality', (SELECT count(*) FROM q)::BIGINT
+    UNION ALL
+    SELECT 2::BIGINT, 'exact_dedup', (SELECT count(*) FROM ex)::BIGINT
+    UNION ALL
+    SELECT 3::BIGINT, 'near_dedup',
+           (SELECT count(*) FROM ex)::BIGINT
+           - (SELECT count(*) FROM lab WHERE label < node)::BIGINT
+    """,
+)
+def curation_funnel(sf_dir: str):
+    """The flagship composite: how many documents survive each stage of
+    the standard web-corpus curation recipe — quality gate, exact
+    keep-first dedup, near keep-first dedup. One row per stage with the
+    surviving-doc count, the number every curation run reports.
+
+    Scale shape: each stage consumer independently STREAMS the cheap
+    vectorized quality filter (recompute-over-materialize — the filter
+    is one RE2 pass, while materializing would park the whole filtered
+    corpus in the object store); the exact count is a narrow
+    hash-groupby; the near stage is the production MinHash path, whose
+    internal exact-dup pre-prune makes running it on the quality set
+    count-equivalent to running it on the exact survivors (see oracle
+    comment)."""
+    from doppel_ray.functions import analysis as A
+    from doppel_ray.stages import exact
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_input = ds.count()
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        n_tok = A.token_counts(batch["text"], A.WS_TOKEN_RE)
+        n_punct = A.token_counts(batch["text"], A.PUNCT_RE)
+        import pyarrow.compute as pc
+
+        n_chars = (
+            pc.utf8_length(batch["text"].combine_chunks())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return batch.filter(pa.array((n_tok >= 10) & (10 * n_punct <= n_chars)))
+
+    q_ds = ds.map_batches(qfilter, batch_format="pyarrow")
+    n_quality = q_ds.count()
+    n_exact = exact.dedup_keep_first(q_ds, id_col="doc_id").count()
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"{i:012d}" for i in ids]),
+                "text": batch["text"],
+            }
+        )
+
+    pages = q_ds.map_batches(to_pages, batch_format="pyarrow")
+    edges = minhash.near_dup_edges(pages, minhash.MinHashConfig())
+    labels = cluster.cluster_edges(edges)
+    n_drop = sum(1 for u, c in labels.items() if u != c)
+    n_near = n_quality - n_drop
+
+    return pa.table(
+        {
+            "stage_idx": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "stage": pa.array(
+                ["input", "quality", "exact_dedup", "near_dedup"]
+            ),
+            "n_docs": pa.array(
+                [n_input, n_quality, n_exact, n_near], type=pa.int64()
+            ),
+        }
+    )
+
+
+@query(
     "incremental_near_dedup",
     # Same exact-Jaccard rule (DISTINCT 5-char shingles of the normalized
     # text, 5i >= 4u integer arithmetic) as the minhash_near_dup oracle,

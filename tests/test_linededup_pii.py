@@ -214,6 +214,54 @@ class TestUrlCanonicalization:
             "ftp://mixed.case/Path",
         ]
 
+    def test_extract_hosts(self, ray_session):
+        from doppel_ray.functions import urls as U
+
+        got = U.extract_hosts(
+            pa.array(
+                [
+                    "https://News.Example.COM/a/b",
+                    "http://host.io:8443/x?q=1",
+                    "https://plain",
+                    "not a url",
+                    "ftp://Mixed.Case:21/f",
+                    None,
+                ]
+            )
+        ).to_pylist()
+        assert got == [
+            "news.example.com",
+            "host.io",
+            "plain",
+            "",
+            "mixed.case",
+            "",
+        ]
+
+    def test_extract_hosts_duckdb_parity(self, ray_session):
+        import duckdb
+
+        from doppel_ray.functions import urls as U
+
+        fixtures = [
+            "https://News.Example.COM/a/b",
+            "http://host.io:8443/x?q=1",
+            "https://plain",
+            "not a url",
+            "ftp://Mixed.Case:21/f",
+        ]
+        got = U.extract_hosts(pa.array(fixtures)).to_pylist()
+        con = duckdb.connect()
+        con.register("t", pa.table({"u": pa.array(fixtures)}))
+        want = [
+            r[0]
+            for r in con.execute(
+                "SELECT lower(regexp_extract(u,"
+                " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) FROM t"
+            ).fetchall()
+        ]
+        assert got == want
+
     def test_duckdb_parity(self, ray_session):
         """The generic SQL canonicalization (url_dup_groups oracle) and
         the Python kernel agree on adversarial inputs."""
