@@ -548,6 +548,15 @@ def scaling_report() -> dict:
     return out
 
 
+def _burn(_):
+    # module-level so multiprocessing can pickle it for Pool.map
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 2.0:
+        x += 1
+    return x
+
+
 def cpu_probe() -> dict:
     """Pure-userspace spin test: aggregate iterations at lo vs hi worker
     counts. This measures what the HOST actually yields going lo -> hi
@@ -556,21 +565,13 @@ def cpu_probe() -> dict:
     here with zero framework involvement). Record next to scaling runs
     so substrate-limited phases are distinguishable from code limits."""
     import multiprocessing as mp
-    import time as _t
-
-    def burn(_):
-        t0 = _t.monotonic()
-        x = 0
-        while _t.monotonic() - t0 < 2.0:
-            x += 1
-        return x
 
     lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     out = {}
     for n in (lo, hi):
         with mp.Pool(n) as p:
-            res = p.map(burn, range(n))
+            res = p.map(_burn, range(n))
         out[n] = sum(res)
     return {
         "metric": "host spin-test aggregate iterations (2s per worker)",
