@@ -890,6 +890,159 @@ def url_dup_groups(sf_dir: str):
     )
 
 
+@query(
+    "span_dup_groups",
+    # C4 three-line-span dedup detection over pages derived identically
+    # on both sides from doc_id: a corpus-wide duplicated intro span
+    # (every doc), a per-(doc_id % 7) duplicated tail span, and unique
+    # middle windows that must NOT appear. DuckDB list slicing is
+    # 1-based inclusive: ls[i:i+2] is the 3-line window at i.
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             'SPAN X' || chr(10) || 'SPAN Y' || chr(10) || 'SPAN Z'
+             || chr(10) || text || chr(10) ||
+             'TAIL ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             'END A' || chr(10) || 'END B' AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+    spans AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(ls[i:i+2], chr(10)) AS span
+      FROM ls, UNNEST(generate_series(1, len(ls) - 2)) AS u(i)
+    ),
+    g AS (
+      SELECT span, count(*)::BIGINT AS cnt,
+             min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+                 lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
+      FROM spans GROUP BY span HAVING count(*) > 1
+    )
+    SELECT span, cnt,
+           CAST(split_part(fk, ':', 1) AS BIGINT) AS first_doc,
+           CAST(split_part(fk, ':', 2) AS BIGINT) AS first_pos
+    FROM g
+    """,
+)
+def span_dup_groups(sf_dir: str):
+    """C4 three-line-span duplicate detection (stages/linededup.py
+    dup_span_groups): every 3-consecutive-line window repeated anywhere
+    in the corpus, with count and deterministic first occurrence."""
+    from doppel_ray.stages import linededup
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        t = (
+            "SPAN X\nSPAN Y\nSPAN Z\n"
+            + batch["text"].to_pandas()
+            + "\nTAIL "
+            + (ids % 7).astype(str)
+            + "\nEND A\nEND B"
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t, type=pa.string())}
+        )
+
+    out = linededup.dup_span_groups(
+        ds.map_batches(augment, batch_format="pyarrow")
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("span", pa.string()),
+                ("cnt", pa.int64()),
+                ("first_doc", pa.int64()),
+                ("first_pos", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "oov_scores",
+    # Vocabulary-coverage quality signal: reference vocab = tokens in
+    # >= 2 distinct EVEN documents; every doc scored for OOV tokens.
+    # Both sides append a per-doc unique token (' uniq<id>') so n_oov
+    # is non-vacuously > 0 for every doc (df=1 < min_df). oov_rate is a
+    # single int/int IEEE division on both sides (bit-identical, the
+    # quality_scores technique).
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{A.WS_TOKEN_RE}')) AS s
+      FROM aug
+    ),
+    vocab AS (
+      SELECT s FROM tok WHERE doc_id % 2 = 0
+      GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN v.s IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.s = v.s
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+           CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                ELSE coalesce(p.n_oov, 0)::DOUBLE / p.n_tokens::DOUBLE
+           END AS oov_rate
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def oov_scores(sf_dir: str):
+    """OOV-rate scoring (stages/vocab.py): reference vocabulary built
+    from the even half of the corpus (distinct-doc frequency >= 2,
+    broadcast once — bounded by vocabulary size, not corpus size), then
+    one vectorized is_in pass scores every document."""
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages import vocab as V
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        t = batch["text"].to_pandas() + " uniq" + ids.astype(str)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t, type=pa.string())}
+        )
+
+    aug = ds.map_batches(augment, batch_format="pyarrow")
+
+    def evens(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0)
+        )
+
+    voc = V.reference_vocab(
+        aug.map_batches(evens, batch_format="pyarrow"), min_df=2
+    )
+    out = V.add_oov_columns(aug, voc).select_columns(
+        ["doc_id", "n_tokens", "n_oov", "oov_rate"]
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_oov", pa.int64()),
+                ("oov_rate", pa.float64()),
+            ]
+        ),
+    )
+
+
 _DOMAIN_HOSTS = [
     "news.example.com",
     "blog.example.org",

@@ -49,6 +49,9 @@ DEFAULT_FREQUENT_LIMIT = 50_000_000
 
 def _split_lines(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if pa.types.is_null(arr.type):
+        # an all-null batch infers type null, which split_pattern rejects
+        arr = arr.cast(pa.string())
     return pc.split_pattern(arr, pattern="\n")
 
 
@@ -90,6 +93,109 @@ def frequent_lines(
             f"corpus — raise min_docs or the limit"
         )
     return t["line"].combine_chunks() if t.num_rows else pa.array([], type=pa.string())
+
+
+def dup_span_groups(
+    ds: Dataset,
+    *,
+    span_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Corpus-duplicated line spans — the detection core of C4's
+    "three-sentence span" dedup (Raffel et al. 2020 §2.2), with LINES
+    standing in for sentences: every window of ``span_lines``
+    consecutive lines whose joined text occurs more than once anywhere
+    in the corpus, with its occurrence count and first occurrence
+    (lexicographic min over the zero-padded ``doc:pos`` key, so "first"
+    is deterministic and layout-independent — the stable-group-id
+    stance of SURVEY.md G4).
+
+    Scale shape: one ``map_batches`` explodes each doc into its stride-1
+    line windows (windows never cross documents — a doc is one row);
+    the ``groupby(span)`` shuffle carries the span strings plus a narrow
+    key column; singleton spans are pruned by the HAVING filter after a
+    combiner-friendly count. Returns (span, cnt, first_doc, first_pos).
+
+    Removal is deliberately NOT implemented here: C4's "remove all but
+    one occurrence" is order-dependent for OVERLAPPING duplicate windows
+    and the paper does not pin a tie-break; consumers get the exact
+    duplicate-span relation and apply their own policy.
+    """
+    if span_lines < 1:
+        raise ValueError(f"span_lines must be >= 1, got {span_lines}")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lines = _split_lines(batch[text_col])
+        n_per_row = np.asarray(pc.list_value_length(lines).fill_null(0))
+        flat = np.asarray(pc.list_flatten(lines).to_pandas(), dtype=object)
+        total = len(flat)
+        m = total - span_lines + 1
+        if m <= 0:
+            return pa.table(
+                {
+                    "span": pa.array([], type=pa.string()),
+                    "key": pa.array([], type=pa.string()),
+                }
+            )
+        # windows of span_lines consecutive lines, joined with \n
+        span = flat[:m].copy()
+        for j in range(1, span_lines):
+            span = span + "\n"
+            span = span + flat[j : m + j]
+        # a window is valid iff its two endpoints are in the same doc
+        row_of = np.repeat(np.arange(len(n_per_row), dtype=np.int64), n_per_row)
+        valid = row_of[:m] == row_of[span_lines - 1 : span_lines - 1 + m]
+        starts = np.nonzero(valid)[0]
+        docs = np.asarray(batch[id_col].to_pandas())[row_of[starts]]
+        # position of the window within its own document
+        doc_start = np.zeros(len(n_per_row), dtype=np.int64)
+        np.cumsum(n_per_row[:-1], out=doc_start[1:])
+        pos = starts - doc_start[row_of[starts]]
+        keys = np.char.add(
+            np.char.add(
+                np.char.zfill(docs.astype("U"), 12), np.array(":", dtype="U1")
+            ),
+            np.char.zfill(pos.astype("U"), 7),
+        )
+        return pa.table(
+            {
+                "span": pa.array(span[starts], type=pa.string()),
+                "key": pa.array(keys.astype(object), type=pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    g = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("span")
+        .aggregate(Count(alias_name="cnt"), Min("key", alias_name="first_key"))
+        .filter(expr="cnt > 1")
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fk = batch["first_key"].to_pandas()
+        parts = fk.str.split(":", expand=True)
+        if len(fk) == 0:
+            parts = pd.DataFrame({0: [], 1: []})
+        return pa.table(
+            {
+                "span": batch["span"],
+                "cnt": batch["cnt"],
+                "first_doc": pa.array(
+                    parts[0].astype("int64") if len(fk) else [], type=pa.int64()
+                ),
+                "first_pos": pa.array(
+                    parts[1].astype("int64") if len(fk) else [], type=pa.int64()
+                ),
+            }
+        )
+
+    return g.map_batches(parse, batch_format="pyarrow")
 
 
 def remove_boilerplate_lines(

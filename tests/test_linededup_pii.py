@@ -134,6 +134,84 @@ class TestLineDedup:
         assert got == [tuple(r) for r in want]
 
 
+class TestSpanDedup:
+    def test_duplicated_span_found_with_first_occurrence(self, ray_session):
+        texts = [
+            "a\nb\nc\nunique one",
+            "x\na\nb\nc\ny",
+            "only\ntwo",  # shorter than the span: no windows
+        ]
+        rows = linededup.dup_span_groups(_docs(texts)).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["span"] == "a\nb\nc"
+        assert r["cnt"] == 2
+        assert (r["first_doc"], r["first_pos"]) == (0, 0)
+
+    def test_windows_never_cross_documents(self, ray_session):
+        # "b\nc\nd" exists only across the doc boundary: must not match
+        texts = ["a\nb\nc", "d\ne\nf", "b\nc\nd"]
+        assert linededup.dup_span_groups(_docs(texts)).take_all() == []
+
+    def test_repeat_within_one_doc_counts(self, ray_session):
+        texts = ["p\nq\nr\np\nq\nr"]  # windows 0 and 3 are identical
+        rows = linededup.dup_span_groups(_docs(texts)).take_all()
+        spans = {r["span"]: r for r in rows}
+        assert spans["p\nq\nr"]["cnt"] == 2
+        assert spans["p\nq\nr"]["first_pos"] == 0
+
+    def test_validation_and_null(self, ray_session):
+        with pytest.raises(ValueError, match="span_lines"):
+            linededup.dup_span_groups(_docs(["x"]), span_lines=0)
+        assert linededup.dup_span_groups(_docs([None, None])).take_all() == []
+
+    def test_matches_duckdb_on_random_corpus(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(31)
+        pool = [f"l{i}" for i in range(6)]
+        texts = [
+            "\n".join(rng.choice(pool, size=rng.integers(1, 9)))
+            for _ in range(30)
+        ]
+        got = sorted(
+            (r["span"], r["cnt"], r["first_doc"], r["first_pos"])
+            for r in linededup.dup_span_groups(_docs(texts)).take_all()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+        )
+        want = con.execute(
+            """
+            WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                        FROM documents),
+            spans AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ls[i:i+2], chr(10)) AS span
+              FROM ls, UNNEST(generate_series(1, len(ls) - 2)) AS u(i)
+            ),
+            g AS (
+              SELECT span, count(*)::BIGINT AS cnt,
+                     min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+                         lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
+              FROM spans GROUP BY span HAVING count(*) > 1
+            )
+            SELECT span, cnt,
+                   CAST(split_part(fk, ':', 1) AS BIGINT),
+                   CAST(split_part(fk, ':', 2) AS BIGINT)
+            FROM g ORDER BY span
+            """
+        ).fetchall()
+        assert got == [tuple(r) for r in want]
+
+
 class TestPIIMasking:
     def test_mask_and_counts(self, ray_session):
         texts = pa.array(
