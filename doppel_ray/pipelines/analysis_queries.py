@@ -1043,6 +1043,110 @@ def oov_scores(sf_dir: str):
     )
 
 
+@query(
+    "pack_sequences",
+    # GPT-style concat-then-split sequence packing: the corpus token
+    # stream in doc_id order cut into 512-token training sequences; one
+    # row per (doc, sequence) overlap with exact token spans. All-int
+    # arithmetic, so the hash comparison is exact. DuckDB's windowed
+    # sum returns HUGEINT -> cast to BIGINT.
+    rf"""
+    WITH n AS (
+      SELECT doc_id,
+             length(regexp_extract_all(text, '{A.WS_TOKEN_RE}'))::BIGINT AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, (sum(n) OVER (ORDER BY doc_id))::BIGINT AS c
+      FROM n WHERE n > 0
+    ),
+    x AS (
+      SELECT doc_id, n, c, u.seq_id
+      FROM c, UNNEST(generate_series((c - n) // 512,
+                                     (c - 1) // 512)) AS u(seq_id)
+    )
+    SELECT doc_id, seq_id,
+           greatest(c - n, seq_id * 512) - (c - n) AS doc_tok_start,
+           least(c, (seq_id + 1) * 512) - (c - n) AS doc_tok_end,
+           greatest(c - n, seq_id * 512) - seq_id * 512 AS seq_tok_start
+    FROM x
+    """,
+)
+def pack_sequences(sf_dir: str):
+    """Token-stream sequence packing (stages/packing.py): assign every
+    document's whitespace tokens to consecutive 512-token training
+    sequences via a distributed prefix sum; documents straddle sequence
+    boundaries (no padding)."""
+    from doppel_ray.stages import packing
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = packing.pack_token_stream(ds, seq_tokens=512)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("seq_id", pa.int64()),
+                ("doc_tok_start", pa.int64()),
+                ("doc_tok_end", pa.int64()),
+                ("seq_tok_start", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    # Per-document top-5 TF-IDF terms. Bit-exact float parity: idf is
+    # ln(N/df) with N = count(*) — one IEEE divide + libm log on both
+    # sides (driver math.log == DuckDB ln; see stages/tfidf.py) — and
+    # tfidf = tf * idf is one correctly-rounded multiply. Tie-break is
+    # binary collation (UTF-8 memcmp == codepoint order) on both sides.
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{A.WS_TOKEN_RE}')) AS s
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, s, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, s
+    ),
+    dfq AS (
+      SELECT s, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY s
+    ),
+    nq AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.s AS token, tf.tf, dfq.df,
+             tf.tf * ln(n / dfq.df::DOUBLE) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n / dfq.df::DOUBLE) DESC, tf.s ASC
+             ) AS rk
+      FROM tf JOIN dfq USING (s), nq
+    )
+    SELECT doc_id, token, tf, df, tfidf FROM sc WHERE rk <= 5
+    """,
+)
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-5 TF-IDF salient terms (stages/tfidf.py):
+    broadcast-df scoring, zero shuffles past the vocab build."""
+    from doppel_ray.stages import tfidf
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = tfidf.tfidf_top_terms(ds, k=5)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("token", pa.string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+                ("tfidf", pa.float64()),
+            ]
+        ),
+    )
+
+
 _DOMAIN_HOSTS = [
     "news.example.com",
     "blog.example.org",

@@ -40,6 +40,31 @@ from doppel_ray.stages.util import collect_table
 DEFAULT_VOCAB_LIMIT = 100_000_000
 
 
+def document_frequency(ds: Dataset, *, text_col: str = "text") -> Dataset:
+    """(token, df) — each token's DISTINCT-document frequency.
+
+    One ``map_batches`` explodes docs into tokens and dedupes
+    (token, doc) pairs in-batch (a doc is one row, so in-batch dedupe is
+    globally exact); the ``groupby(token)`` shuffle then carries only
+    distinct pairs. Output size is bounded by vocabulary, not corpus.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        t = pa.table({"token": flat, "row": pa.array(row_idx)})
+        # in-batch (token, doc) dedupe -> shipped pairs globally distinct
+        df = t.to_pandas().drop_duplicates()
+        return pa.table({"token": pa.array(df["token"], type=pa.string())})
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+
+
 def reference_vocab(
     ds: Dataset,
     *,
@@ -51,20 +76,7 @@ def reference_vocab(
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
 
-    def explode(batch: pa.Table) -> pa.Table:
-        flat, counts = _flat_tokens(batch[text_col])
-        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        t = pa.table({"token": flat, "row": pa.array(row_idx)})
-        # in-batch (token, doc) dedupe -> shipped pairs globally distinct
-        df = t.to_pandas().drop_duplicates()
-        return pa.table({"token": pa.array(df["token"], type=pa.string())})
-
-    counts = (
-        ds.select_columns([text_col])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="df"))
-    )
+    counts = document_frequency(ds, text_col=text_col)
     freq = counts.filter(expr=f"df >= {int(min_df)}").select_columns(["token"])
     t = collect_table(freq)
     if t.num_rows > vocab_limit:
