@@ -1147,6 +1147,61 @@ def tfidf_top_terms(sf_dir: str):
     )
 
 
+@query(
+    "mixture_fill",
+    # Token-budget mixture construction: per-source doc selection in
+    # stable md5 hash order until the source's token budget fills —
+    # reproduced verbatim by a windowed cumulative sum over the same
+    # md5_number_upper hash the samplers use. All-integer decisions, so
+    # the value-hash comparison is exact.
+    rf"""
+    WITH n AS (
+      SELECT doc_id, source,
+             length(regexp_extract_all(text, '{A.WS_TOKEN_RE}'))::BIGINT
+               AS n_tokens,
+             md5_number_upper(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             (sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY h, doc_id))::BIGINT AS c
+      FROM n
+    )
+    SELECT doc_id, source, n_tokens FROM c
+    WHERE c <= CASE source WHEN 'src0' THEN 700
+                           WHEN 'src1' THEN 700
+                           WHEN 'src2' THEN 0
+                           ELSE 400 END
+    """,
+)
+def mixture_fill(sf_dir: str):
+    """Per-source token-budget fill (stages/mixture.py): keep each
+    source's docs in deterministic hash order while its running token
+    total stays within budget — 700 tokens for src0/src1, zero for
+    src2, 400 for everything else."""
+    from doppel_ray.stages.mixture import token_budget_fill
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+    out = token_budget_fill(
+        ds,
+        "source",
+        {"src0": 700, "src1": 700, "src2": 0},
+        default_budget=400,
+        coarse_bits=4,  # tiny test corpora: keep marginal buckets non-trivial
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("n_tokens", pa.int64()),
+            ]
+        ),
+    )
+
+
 _DOMAIN_HOSTS = [
     "news.example.com",
     "blog.example.org",

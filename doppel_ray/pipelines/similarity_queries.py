@@ -373,6 +373,36 @@ def ivf_topk(sf_dir: str):
     )
 
 
+@query("semdedup")  # rows-only: k-means + float cosine, no SQL analog
+def semdedup_verdicts(sf_dir: str):
+    """SemDeDup semantic dedup over the embeddings table
+    (stages/semdedup.py): deterministic hash-sampled k-means, broadcast
+    centroid assignment, one bucketed in-cluster pass emitting every
+    row's verdict — (vec_id, cluster, cent_sim, max_prior_sim, kept).
+    Row count always equals the corpus, so the driver's rows-only check
+    is non-vacuous; kept-set invariants are pinned in
+    tests/test_semdedup.py (planted duplicate groups keep exactly one
+    member; brute-force parity at n_clusters=1)."""
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages.semdedup import SemDeDupConfig, semantic_dedup
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    cfg = SemDeDupConfig(n_clusters=8, train_num=1000, train_den=1000)
+    out = semantic_dedup(ds, cfg)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("cluster", pa.int64()),
+                ("cent_sim", pa.float64()),
+                ("max_prior_sim", pa.float64()),
+                ("kept", pa.bool_()),
+            ]
+        ),
+    )
+
+
 @query(
     "near_dedup_keep_first",
     # Same exact-Jaccard pair base as minhash_near_dup, then connected
