@@ -1202,6 +1202,67 @@ def mixture_fill(sf_dir: str):
     )
 
 
+@query(
+    "frequent_tokens",
+    rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '{A.WS_TOKEN_RE}')) AS token
+      FROM documents
+    )
+    SELECT token, count(*)::BIGINT AS est
+    FROM tok GROUP BY token HAVING count(*) >= 20
+    """,
+)
+def frequent_tokens(sf_dir: str):
+    """Corpus heavy hitters via the distributed Misra-Gries summary
+    (stages/heavyhitters.py): shuffle volume is capacity x blocks, not
+    corpus tokens. At this capacity every block's distinct tokens fit,
+    so the total decrement is zero and the summary is EXACT — the SQL
+    GROUP BY/HAVING oracle pairs verbatim; the lossy regime's bounds
+    are pinned in tests/test_heavyhitters.py."""
+    from doppel_ray.stages.heavyhitters import frequent_tokens as mg
+
+    ds = read_documents(sf_dir, columns=["text"])
+    table, total_dec = mg(ds, capacity=1 << 17, min_count=20)
+    if total_dec != 0:
+        raise RuntimeError(
+            f"frequent_tokens exact-regime assumption broke: "
+            f"total_decrement={total_dec} (raise capacity)"
+        )
+    return table
+
+
+@query("dsir_scores")  # rows-only: logweight is a float SUM of many
+# terms and SQL SUM order is unspecified, so no hash-exact twin exists;
+# brute-force + bit-exact layout-invariance pins live in tests/test_dsir.py
+def dsir_scores(sf_dir: str):
+    """DSIR importance weights (stages/dsir.py, Xie et al. 2023) for
+    every document against a target distribution (here: the src0
+    domain as the 'high-quality' corpus): hashed unigram+bigram bucket
+    counts -> broadcast log-ratio vector -> one zero-shuffle scoring
+    pass. Row count always equals the corpus, so the driver's
+    rows-only check is non-vacuous."""
+    from doppel_ray.stages import dsir as D
+
+    raw = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+    target = raw.filter(expr="source == 'src0'").select_columns(
+        ["doc_id", "text"]
+    )
+    out = D.dsir_scores(
+        raw.select_columns(["doc_id", "text"]), target, m=4096
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_ngrams", pa.int64()),
+                ("logweight", pa.float64()),
+            ]
+        ),
+    )
+
+
 _DOMAIN_HOSTS = [
     "news.example.com",
     "blog.example.org",
