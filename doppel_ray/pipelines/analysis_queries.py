@@ -1263,6 +1263,42 @@ def dsir_scores(sf_dir: str):
     )
 
 
+@query(
+    "phrase_search",
+    # Corpus phrase search: docs containing the literal phrase, with
+    # non-overlapping occurrence counts — Arrow count_substring and the
+    # SQL replace-length identity both scan left-to-right
+    # non-overlapping, so the integer counts pair exactly.
+    """
+    SELECT doc_id,
+           ((length(text) - length(replace(text, 'window window', '')))
+             / length('window window'))::BIGINT AS n_hits
+    FROM documents
+    WHERE position('window window' IN text) > 0
+    """,
+)
+def phrase_search(sf_dir: str):
+    """Literal phrase search over the corpus (the grep primitive): one
+    vectorized count_substring pass, rows with >= 1 hit. Zero shuffles;
+    at 100 TB this is a pure streaming scan with column pruning."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring(
+            pc.fill_null(batch["text"], ""), "window window"
+        )
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "n_hits": n.cast(pa.int64())}
+        )
+        return t.filter(pc.greater(t["n_hits"], 0))
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
+    )
+
+
 _DOMAIN_HOSTS = [
     "news.example.com",
     "blog.example.org",
