@@ -67,3 +67,7 @@ def _load() -> None:
         from doppel_ray.pipelines import similarity_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from doppel_ray.pipelines import relational_queries  # noqa: F401
+    except ImportError:
+        pass
