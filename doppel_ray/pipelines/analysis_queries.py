@@ -794,6 +794,81 @@ def boilerplate_lines(sf_dir: str):
 
 
 @query(
+    "line_dedup_keepfirst",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             'PROMO SHARED LINE' || chr(10) ||
+             'REPEAT ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             'REPEAT ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             text AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+    lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (
+               PARTITION BY line ORDER BY doc_id, pos
+             ) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(
+             string_agg(
+               CASE WHEN line = '' OR cnt = 1 OR rn = 1 THEN line END,
+               chr(10) ORDER BY pos), '') AS text_clean,
+           sum(CASE WHEN line <> '' AND cnt > 1 AND rn > 1
+                    THEN 1 ELSE 0 END)::BIGINT AS n_removed
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def line_dedup_keepfirst(sf_dir: str):
+    """C4 keep-first line dedup (stages/linededup.dedup_lines_keep_first):
+    a duplicated non-empty line keeps exactly its first occurrence by
+    (doc_id, pos) and loses the rest. The deterministic augment plants
+    one corpus-wide shared line (kept only by the min doc_id), an
+    intra-doc repeat (second copy always removed), and a mod-7 family
+    line (one survivor among ~2N/7 occurrences), exercising inter-doc,
+    intra-doc, and grouped duplication on both sides identically."""
+    from doppel_ray.stages import linededup
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        rep = "REPEAT " + (ids % 7).astype(str)
+        aug = (
+            "PROMO SHARED LINE\n"
+            + rep + "\n" + rep + "\n"
+            + batch["text"].to_pandas()
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(aug, type=pa.string())}
+        )
+
+    aug_ds = ds.map_batches(augment, batch_format="pyarrow")
+    out = linededup.dedup_lines_keep_first(aug_ds).select_columns(
+        ["doc_id", "text_clean", "n_removed"]
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_clean", pa.string()),
+                ("n_removed", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "url_dup_groups",
     # Canonicalization computed GENERICALLY in SQL (same five rules as
     # functions/urls.py, not the expected constants), over crawl-alias

@@ -250,3 +250,141 @@ def remove_boilerplate_lines(
         return out
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+#: ord-key packing: ord = doc_id * POS_LIMIT + pos must order exactly
+#: like (doc_id, pos) lexicographic, so pos must stay below this
+POS_LIMIT = 1 << 20
+
+
+def dedup_lines_keep_first(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    removed_col: str = "n_removed",
+    frequent_limit: int = DEFAULT_FREQUENT_LIMIT,
+) -> Dataset:
+    """C4-style keep-FIRST line dedup (Raffel et al. 2020 §2.2, applied
+    per line): every non-empty line that occurs more than once in the
+    corpus — across documents OR repeated inside one — keeps exactly its
+    first occurrence (lexicographic min over (doc_id, pos)) and loses
+    all later ones. Contrast ``remove_boilerplate_lines``, which removes
+    ALL occurrences of frequent lines: keep-first preserves one copy of
+    legitimate content that happens to repeat.
+
+    Scale shape: pass 1 explodes lines with a packed int64 order key and
+    pre-combines per batch (min ord + occurrence count per distinct
+    line), so the ``groupby(line)`` shuffle carries one narrow partial
+    row per (batch, line); the duplicated subset (count >= 2) is
+    collected and broadcast once — bounded by DUPLICATED-line volume,
+    the same bound remove_boilerplate_lines relies on, guarded by
+    ``frequent_limit``. Pass 2 rewrites each doc in one vectorized
+    map_batches (ListArray rebuild + binary_join, no Python line loop).
+    Empty lines are structure, not content: never counted, never
+    removed. Requires 0 <= doc_id < 2^43 and per-doc line count <
+    2^20 (raises otherwise).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lines = _split_lines(batch[text_col])
+        n_per_row = np.asarray(pc.list_value_length(lines).fill_null(0))
+        if len(n_per_row) and n_per_row.max() >= POS_LIMIT:
+            raise ValueError(
+                f"a document has >= {POS_LIMIT} lines; ord-key packing "
+                "would break (doc_id, pos) ordering"
+            )
+        ids = np.asarray(batch[id_col].to_pandas(), dtype=np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 43)):
+            raise ValueError("doc_id out of [0, 2^43) for ord-key packing")
+        flat = pc.list_flatten(lines)
+        row_of = np.repeat(np.arange(len(n_per_row), dtype=np.int64), n_per_row)
+        doc_start = np.zeros(len(n_per_row), dtype=np.int64)
+        np.cumsum(n_per_row[:-1], out=doc_start[1:])
+        pos = np.arange(len(row_of), dtype=np.int64) - doc_start[row_of]
+        ord_key = ids[row_of] * POS_LIMIT + pos
+        df = pd.DataFrame(
+            {"line": flat.to_pandas(), "ord": ord_key}
+        )
+        df = df[df["line"] != ""]
+        part = df.groupby("line", sort=False)["ord"].agg(["min", "size"])
+        return pa.table(
+            {
+                "line": pa.array(part.index, type=pa.string()),
+                "min_ord": pa.array(part["min"].to_numpy(), type=pa.int64()),
+                "n": pa.array(part["size"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Min("min_ord", alias_name="first_ord"), Sum("n", alias_name="n"))
+        .filter(expr="n >= 2")
+        .select_columns(["line", "first_ord"])
+    )
+    t = collect_table(counts)
+    if t.num_rows > frequent_limit:
+        raise RuntimeError(
+            f"{t.num_rows} duplicated lines exceed frequent_limit="
+            f"{frequent_limit}; the broadcast regime does not fit this "
+            "corpus — shard the rewrite by line-hash join instead"
+        )
+    first_of = dict(
+        zip(t["line"].to_pylist(), t["first_ord"].to_pylist())
+    ) if t.num_rows else {}
+    ref = ray.put(first_of)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        from doppel_ray.stages.util import cached_get
+
+        first: dict = cached_get(ref)
+        lines = _split_lines(batch[text_col])
+        n_per_row = np.asarray(pc.list_value_length(lines).fill_null(0))
+        ids = np.asarray(batch[id_col].to_pandas(), dtype=np.int64)
+        flat = pc.list_flatten(lines)
+        row_of = np.repeat(np.arange(len(n_per_row), dtype=np.int64), n_per_row)
+        doc_start = np.zeros(len(n_per_row), dtype=np.int64)
+        np.cumsum(n_per_row[:-1], out=doc_start[1:])
+        pos = np.arange(len(row_of), dtype=np.int64) - doc_start[row_of]
+        ord_key = ids[row_of] * POS_LIMIT + pos
+        ser = flat.to_pandas()
+        # only duplicated lines pay the dict lookup; everything else keeps
+        firsts = ser.map(first)
+        dup = firsts.notna().to_numpy()
+        drop = np.zeros(len(ser), dtype=bool)
+        if dup.any():
+            drop[dup] = (
+                firsts.to_numpy(dtype=object)[dup].astype(np.int64)
+                != ord_key[dup]
+            )
+        removed = np.zeros(len(n_per_row), dtype=np.int64)
+        np.add.at(removed, row_of, drop.astype(np.int64))
+        keep = ~drop
+        kept_vals = flat.filter(pa.array(keep))
+        kept_per_row = n_per_row - removed
+        offsets = np.concatenate(
+            [[0], np.cumsum(kept_per_row)]
+        ).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            kept_vals.combine_chunks()
+            if isinstance(kept_vals, pa.ChunkedArray)
+            else kept_vals,
+        )
+        out_texts = pc.binary_join(kept_lists, "\n")
+        out = batch
+        for name, arr in (
+            (out_col, out_texts.cast(pa.string())),
+            (removed_col, pa.array(removed)),
+        ):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -134,6 +134,115 @@ class TestLineDedup:
         assert got == [tuple(r) for r in want]
 
 
+class TestLineDedupKeepFirst:
+    def test_first_occurrence_kept_rest_removed(self, ray_session):
+        # "SHARED" appears in docs 0,1,2 — only doc 0 (min doc_id) keeps
+        # it; "twice" repeats INSIDE doc 1 — first copy (lowest pos) kept
+        texts = [
+            "SHARED\nalpha",
+            "twice\ntwice\nSHARED",
+            "SHARED\nbeta\ntwice",
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.dedup_lines_keep_first(_docs(texts)).take_all()
+        }
+        assert out[0]["text_clean"] == "SHARED\nalpha"
+        assert out[0]["n_removed"] == 0
+        assert out[1]["text_clean"] == "twice"
+        assert out[1]["n_removed"] == 2
+        assert out[2]["text_clean"] == "beta"
+        assert out[2]["n_removed"] == 2
+
+    def test_empty_lines_are_structure(self, ray_session):
+        texts = ["a\n\nb", "c\n\nd"]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.dedup_lines_keep_first(_docs(texts)).take_all()
+        }
+        assert out[0]["text_clean"] == "a\n\nb"
+        assert out[1]["text_clean"] == "c\n\nd"
+        assert all(r["n_removed"] == 0 for r in out.values())
+
+    def test_unique_lines_untouched(self, ray_session):
+        texts = ["one\ntwo", "three\nfour"]
+        out = {
+            r["doc_id"]: r
+            for r in linededup.dedup_lines_keep_first(_docs(texts)).take_all()
+        }
+        assert out[0]["text_clean"] == "one\ntwo"
+        assert out[1]["text_clean"] == "three\nfour"
+
+    def test_frequent_limit_guard(self, ray_session):
+        texts = ["dup\nx", "dup\ny"]
+        with pytest.raises(RuntimeError, match="frequent_limit"):
+            linededup.dedup_lines_keep_first(
+                _docs(texts), frequent_limit=0
+            ).take_all()
+
+    def test_doc_id_bound_guard(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1 << 43], pa.int64()),
+                "text": pa.array(["a"]),
+            }
+        )
+        # the ValueError surfaces wrapped in Ray's task-error hierarchy
+        with pytest.raises(Exception, match="ord-key"):
+            linededup.dedup_lines_keep_first(rd.from_arrow(t)).take_all()
+
+    def test_matches_duckdb_on_random_corpus(self, ray_session):
+        """Keep-first parity vs a window-function oracle on a corpus with
+        heavy inter- and intra-doc line repetition."""
+        import duckdb
+
+        rng = np.random.default_rng(31)
+        pool = [f"line {i}" for i in range(10)] + [""]
+        texts = [
+            "\n".join(rng.choice(pool, size=rng.integers(2, 7)))
+            for _ in range(50)
+        ]
+        got = sorted(
+            (r["doc_id"], r["text_clean"], r["n_removed"])
+            for r in linededup.dedup_lines_keep_first(_docs(texts)).take_all()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+        )
+        want = con.execute(
+            """
+            WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+            lines AS (
+              SELECT doc_id, i AS pos, ls[i] AS line
+              FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)
+            ),
+            marked AS (
+              SELECT doc_id, pos, line,
+                     count(*) OVER (PARTITION BY line) AS cnt,
+                     row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, pos
+                     ) AS rn
+              FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN line = '' OR cnt = 1 OR rn = 1 THEN line END,
+                     chr(10) ORDER BY pos), '') AS text_clean,
+                   sum(CASE WHEN line <> '' AND cnt > 1 AND rn > 1
+                            THEN 1 ELSE 0 END)::BIGINT AS n_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+            """
+        ).fetchall()
+        assert got == [tuple(r) for r in want]
+
+
 class TestSpanDedup:
     def test_duplicated_span_found_with_first_occurrence(self, ray_session):
         texts = [
