@@ -31,7 +31,6 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
-from doppel_ray.state.unionfind import UnionFind
 from doppel_ray.stages.exact import bucketed_group_apply
 from doppel_ray.stages.util import collect_table
 
@@ -39,17 +38,54 @@ logger = logging.getLogger(__name__)
 
 
 def cluster_edges(edges: Dataset | pa.Table) -> dict[str, str]:
-    """Verified edges -> {url: cluster_id(min url of component)}."""
+    """Verified edges -> {url: cluster_id(min url of component)}.
+
+    Vectorized: urls dictionary-encode to int codes (Arrow C++ hash),
+    codes remap to lexicographic RANKS (one Arrow sort of the distinct
+    urls — so min rank == min url), and components resolve by numpy
+    hook-and-compress over the edge arrays (O(E) per round, ~log rounds)
+    instead of a per-edge Python union-find loop (measured 3-5 s vs
+    ~0.3 s at 600k edges / 550k nodes on the 800k-doc bench)."""
+    import numpy as np
+
     if isinstance(edges, Dataset):
         t = collect_table(edges.select_columns(["url_a", "url_b"]))
-        if t.num_rows == 0:
-            return {}
-        pairs = zip(t["url_a"].to_pylist(), t["url_b"].to_pylist())
     else:
-        pairs = zip(edges["url_a"].to_pylist(), edges["url_b"].to_pylist())
-    uf = UnionFind()
-    uf.add_edges(pairs)
-    return uf.labels()
+        t = edges
+    if t.num_rows == 0:
+        return {}
+    both = pa.chunked_array(
+        [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
+    ).combine_chunks()
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vals = enc.dictionary  # distinct urls, first-seen order
+    n = len(vals)
+    # rank[i] = lexicographic rank of vals[i]; vals_by_rank[r] = url
+    order = pc.sort_indices(vals).to_numpy().astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    vals_by_rank = vals.take(pa.array(order))
+    e = t.num_rows
+    a = rank[codes[:e]]
+    b = rank[codes[e:]]
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        ra, rb = parent[a], parent[b]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)
+        while True:  # full path compression
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, before):
+            break
+    urls = vals.to_pylist()
+    roots = vals_by_rank.take(pa.array(parent[rank])).to_pylist()
+    return dict(zip(urls, roots))
 
 
 _JOIN_SCHEMA = pa.schema(
@@ -245,7 +281,9 @@ def assign_clusters(
     ref = ray.put(labels)
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        from doppel_ray.stages.util import cached_get
+
+        m = cached_get(ref)
         ids = batch[id_col].to_pylist()
         out = [m.get(u, u) for u in ids]
         col = pa.array(out, type=batch[id_col].type)

@@ -39,12 +39,14 @@ from doppel_ray.stages import hashes
 
 #: partial-count rows (distinct keys after in-block combining) below
 #: which the cross-block merge runs on the driver instead of paying a
-#: groupby shuffle. At 8 B/key this is ~160 MB of driver ints — far
-#: under the broadcast bound the stage already carries for the dup-key
-#: set itself. Above it, the scale-correct narrow groupby-sum shuffle
-#: runs (its ~5 s fixed sort-coordination cost — measured at 200 k rows
-#: /32 CPUs vs 1.1 s for the driver merge — amortizes at real scale).
-DRIVER_AGG_LIMIT = 20_000_000
+#: shuffle. The driver merge is a single-core np.unique sort — measured
+#: 1.1 s at 200 k rows but ~10 s at 17.9 M (it was the largest serial
+#: fraction of the 800 k-doc near-dedup scaling profile), so the bound
+#: sits where the bucketed merge's fixed shuffle-coordination cost
+#: (~2-3 s at 32 CPUs) starts winning. Above it, the cross-block merge
+#: is a bucketed hash shuffle of the (narrow) partial stream with
+#: per-bucket vectorized count-sums — fully distributed, scale-correct.
+DRIVER_AGG_LIMIT = 4_000_000
 
 
 def duplicated_key_values(ds: Dataset, key: str) -> pa.Array:
@@ -99,14 +101,40 @@ def duplicated_key_values(ds: Dataset, key: str) -> pa.Array:
         tot = np.zeros(len(u), dtype=np.int64)
         np.add.at(tot, idx, cnt)
         return pa.array(u[tot > 1], type=keys.type)
-    from ray.data.aggregate import Sum
+    # distributed cross-block merge: ONE bucketed hash shuffle of the
+    # narrow (key, cnt) partials; each bucket sums its counts vectorized
+    # and emits only its dup keys — cheaper than Ray's sort-based
+    # groupby-Sum (no global sort) and the per-bucket output is bounded
+    # by dup keys, so the driver collect below stays small.
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        if int_key:
+            u, idx = np.unique(
+                g[key].to_numpy(zero_copy_only=False), return_inverse=True
+            )
+            tot = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tot, idx, cnt)
+            return pa.table({key: pa.array(u[tot > 1])})
+        keys_arr = g[key].combine_chunks()
+        u, idx = np.unique(keys_arr, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, idx, cnt)
+        return pa.table({key: pa.array(u[tot > 1], type=keys_arr.type)})
 
-    counts = partials.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
-    dup = counts.filter(expr="cnt > 1")
+    dup = bucketed_group_apply(partials, key, merge_bucket)
     t = collect_table(dup.select_columns([key]))
     if t.num_rows == 0:
         return pa.array([])
     return t[key].combine_chunks()
+
+
+#: broadcast value-set size above which integer semi-joins switch from
+#: ``pc.is_in`` (which rebuilds its hash table on EVERY batch — O(|set|)
+#: per batch) to one driver-side sort + per-batch ``np.searchsorted``
+#: (O(batch x log |set|), and the sorted array is a zero-copy plasma
+#: read). Measured on the 800k near-dedup profile: the band-key
+#: semi-join carried a 2.2M-key set across ~200 blocks.
+_SEARCHSORTED_LIMIT = 100_000
 
 
 def semi_filter(
@@ -115,6 +143,29 @@ def semi_filter(
     """Keep rows whose ``key`` is in the broadcast value set (broadcast
     semi-join: one ``ray.put``, zero-copy read in every task).
     ``invert=True`` keeps rows NOT in the set (anti-join)."""
+    import numpy as np
+
+    if (
+        pa.types.is_integer(values.type)
+        and len(values) > _SEARCHSORTED_LIMIT
+    ):
+        sorted_vals = np.sort(values.to_numpy(zero_copy_only=False))
+        ref = ray.put(sorted_vals)
+
+        def fn_ss(batch: pa.Table) -> pa.Table:
+            from doppel_ray.stages.util import cached_get
+
+            arr: np.ndarray = cached_get(ref)
+            v = batch[key].to_numpy(zero_copy_only=False).astype(arr.dtype)
+            pos = np.searchsorted(arr, v)
+            pos[pos == len(arr)] = 0
+            mask = arr[pos] == v
+            if invert:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(fn_ss, batch_format="pyarrow")
+
     ref = ray.put(values)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -929,18 +929,22 @@ def _prune_exact_classes(
             return ds, None
         dup_keys = pa.array(u[tot > 1])
         mem_t = collect_table(semi_filter(keyed, "eq_key", dup_keys))
-        df = mem_t.to_pandas()
-        df["rep"] = df.groupby("eq_key", sort=False)["url"].transform("min")
+        if mem_t.num_rows == 0:
+            return ds, None
+        # rep = min(url) per eq class, resolved with one Arrow multi-key
+        # sort (C++) instead of a pandas string groupby-transform
+        # (measured 7.3 s vs ~0.3 s at 429k member rows): after sorting
+        # by (eq_key, url) the first row of each class is its rep.
+        srt = mem_t.sort_by([("eq_key", "ascending"), ("url", "ascending")])
+        eq_s = srt["eq_key"].to_numpy(zero_copy_only=False)
+        urls_s = srt["url"].combine_chunks()
+        starts = np.flatnonzero(np.r_[True, eq_s[1:] != eq_s[:-1]])
+        gid = np.cumsum(np.r_[0, (eq_s[1:] != eq_s[:-1]).astype(np.int64)])
+        rep_s = urls_s.take(pa.array(starts[gid]))
         members_t = pa.table(
-            {
-                "rep": pa.array(df["rep"], type=pa.string()),
-                "url": pa.array(df["url"], type=pa.string()),
-            },
-            schema=MEMBERS_FILTER_SCHEMA,
+            {"rep": rep_s, "url": urls_s}, schema=MEMBERS_FILTER_SCHEMA
         )
-        non_rep = pa.array(
-            df.loc[df["rep"] != df["url"], "url"], type=pa.string()
-        )
+        non_rep = urls_s.filter(pc.invert(pc.equal(rep_s, urls_s)))
         if len(non_rep) == 0:
             return ds, None
         pruned = semi_filter(ds, "url", non_rep, invert=True)
@@ -1327,7 +1331,12 @@ def _reattach_classes(
     )
 
     def expand(batch: pa.Table) -> pa.Table:
-        g = ray.get(ref)
+        from doppel_ray.stages.util import cached_get
+
+        # cached_get: the membership map deserializes once per WORKER,
+        # not once per batch (a ~50 MB dict re-unpickled per batch was
+        # a flat multi-second cost in the 800k scaling profile)
+        g = cached_get(ref)
         ua: list[str] = []
         ub: list[str] = []
         sims: list[float] = []

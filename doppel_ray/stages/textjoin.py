@@ -85,16 +85,24 @@ def pair_text_join(
                 }
             )
         # all copies of a pair share url_a => all land in this bucket:
-        # dedupe here instead of a dedicated dedupe shuffle
-        pdf = pr.select(["url_a", "url_b"]).to_pandas().drop_duplicates()
-        lookup = dict(zip(tx["join_key"].to_pylist(), tx["text_a"].to_pylist()))
-        ta = [lookup.get(u) for u in pdf["url_a"]]
+        # dedupe here instead of a dedicated dedupe shuffle. Arrow
+        # group_by distinct + index_in/take keep the (large) text column
+        # out of Python entirely — the round-3 dict-of-pylist version
+        # materialized every bucket text as a Python str.
+        pr = (
+            pr.select(["url_a", "url_b"])
+            .group_by(["url_a", "url_b"])
+            .aggregate([])
+            .combine_chunks()
+        )
+        idx = pc.index_in(pr["url_a"].combine_chunks(), value_set=tx["join_key"].combine_chunks())
+        ta = pc.take(tx["text_a"].combine_chunks(), idx)
         return pa.table(
             {
-                "join_key": pa.array(pdf["url_b"], type=pa.string()),  # pass-2 key
-                "url_a": pa.array(pdf["url_a"], type=pa.string()),
-                "url_b": pa.array(pdf["url_b"], type=pa.string()),
-                "text_a": pa.array(ta, type=pa.large_string()),
+                "join_key": pr["url_b"],  # pass-2 key
+                "url_a": pr["url_a"],
+                "url_b": pr["url_b"],
+                "text_a": ta,
             }
         )
 
@@ -126,14 +134,14 @@ def pair_text_join(
         pr = g.filter(pc.invert(is_text))
         if pr.num_rows == 0:
             return JOINED_SCHEMA.empty_table()
-        lookup = dict(zip(tx["join_key"].to_pylist(), tx["text_b"].to_pylist()))
-        tb = [lookup.get(u) for u in pr["url_b"].to_pylist()]
+        idx = pc.index_in(pr["url_b"].combine_chunks(), value_set=tx["join_key"].combine_chunks())
+        tb = pc.take(tx["text_b"].combine_chunks(), idx)
         return pa.table(
             {
                 "url_a": pr["url_a"],
                 "url_b": pr["url_b"],
                 "text_a": pr["text_a"],
-                "text_b": pa.array(tb, type=pa.large_string()),
+                "text_b": tb,
             },
             schema=JOINED_SCHEMA,
         )

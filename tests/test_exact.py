@@ -217,3 +217,86 @@ def test_normalize_matches_duckdb_on_unicode_ws():
         for s in samples
     ]
     assert ours == theirs
+
+
+class TestSemiFilterSearchsorted:
+    """The large-int-set semi_filter regime (broadcast sorted array +
+    np.searchsorted per batch) must agree exactly with the pc.is_in
+    regime, both directions."""
+
+    def _ds(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 10_000, size=5_000).astype("int64")
+        return (
+            rd.from_arrow(
+                pa.table({"k": keys, "row": np.arange(len(keys))})
+            ).repartition(8),
+            keys,
+        )
+
+    @pytest.mark.parametrize("invert", [False, True])
+    def test_matches_is_in_regime(self, ray_session, monkeypatch, invert):
+        import numpy as np
+
+        ds, keys = self._ds()
+        vals = pa.array(
+            np.unique(keys[: len(keys) // 3]), type=pa.int64()
+        )
+        want = sorted(
+            r["row"]
+            for r in exact.semi_filter(
+                ds, "k", vals, invert=invert
+            ).take_all()
+        )
+        monkeypatch.setattr(exact, "_SEARCHSORTED_LIMIT", 10)
+        got = sorted(
+            r["row"]
+            for r in exact.semi_filter(
+                ds, "k", vals, invert=invert
+            ).take_all()
+        )
+        assert got == want
+        # sanity: the searchsorted regime actually ran (limit exceeded)
+        assert len(vals) > 10
+
+    def test_no_match_values(self, ray_session, monkeypatch):
+        ds, _ = self._ds()
+        monkeypatch.setattr(exact, "_SEARCHSORTED_LIMIT", 2)
+        vals = pa.array([10**9, 10**9 + 1, 10**9 + 2], type=pa.int64())
+        assert exact.semi_filter(ds, "k", vals).count() == 0
+        assert exact.semi_filter(ds, "k", vals, invert=True).count() == 5000
+
+
+def test_cluster_edges_vectorized_matches_unionfind(ray_session):
+    """The numpy hook-and-compress cluster_edges must label every node
+    with the lexicographic-min url of its component — pinned against
+    the original driver UnionFind on a random multi-component graph."""
+    import numpy as np
+
+    from doppel_ray.stages.cluster import cluster_edges
+    from doppel_ray.state.unionfind import UnionFind
+
+    rng = np.random.default_rng(3)
+    ua, ub = [], []
+    for c in range(50):
+        nodes = [f"n{rng.integers(0, 10**6):06d}_{c}_{i}" for i in range(12)]
+        for i in range(11):
+            j = int(rng.integers(0, i + 1))
+            ua.append(nodes[j]); ub.append(nodes[i + 1])
+    # long chain forces many compress rounds; duplicate + self edges
+    chain = [f"ch{i:04d}" for i in range(200)]
+    ua += chain[:-1] + ["ch0000", "n_self"]
+    ub += chain[1:] + ["ch0001", "n_self"]
+    t = pa.table({"url_a": ua, "url_b": ub})
+    uf = UnionFind()
+    uf.add_edges(zip(ua, ub))
+    assert cluster_edges(t) == uf.labels()
+    assert cluster_edges(rd.from_arrow(t).repartition(6)) == uf.labels()
+
+
+def test_cluster_edges_empty(ray_session):
+    from doppel_ray.stages.cluster import cluster_edges
+
+    assert cluster_edges(pa.table({"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string())})) == {}
