@@ -243,3 +243,315 @@ def shipping_priority(sf_dir: str):
             ]
         ),
     )
+
+
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+
+
+@query(
+    "revenue_forecast",
+    f"""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c10000,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate <  TIMESTAMP '{_Q6_HI}'
+      AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(sf_dir: str):
+    """TPC-H Q6-flavor forecast-revenue-change: the pure scan-filter-
+    aggregate shape — one column-pruned streaming pass, per-batch int64
+    partial sums, a global aggregate, ZERO shuffles. The discount window
+    compares floor(d*100) integers on both engines so no float boundary
+    can disagree."""
+    from ray.data.aggregate import Count, Sum
+
+    lo = np.datetime64(_Q6_LO, "us").item()
+    hi = np.datetime64(_Q6_HI, "us").item()
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(
+                    batch["l_shipdate"], pa.scalar(lo, type=pa.timestamp("us"))
+                ),
+                pc.less(batch["l_shipdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+            ),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        t = batch.filter(mask)
+        disc = _cents(t["l_discount"])
+        t = t.filter(pa.array((disc >= 5) & (disc <= 7)))
+        disc = disc[(disc >= 5) & (disc <= 7)]
+        rev = _cents(t["l_extendedprice"]) * disc
+        return pa.table({"rev_c10000": pa.array(rev, type=pa.int64())})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("rev_c10000", alias_name="revenue_c10000"), Count(alias_name="n_rows")
+    )
+    return pa.table(
+        {
+            "revenue_c10000": pa.array(
+                [agg["revenue_c10000"] or 0], type=pa.int64()
+            ),
+            "n_rows": pa.array([agg["n_rows"] or 0], type=pa.int64()),
+        }
+    )
+
+
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1997-01-01", "1998-01-01"
+
+
+@query(
+    "regional_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c100,
+           count(*) AS n_rows
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = '{_Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q5_HI}'
+    GROUP BY n_name
+    """,
+)
+def regional_supplier_volume(sf_dir: str):
+    """TPC-H Q5-flavor local-supplier volume: the star-schema join mix.
+    nation x region resolve to a driver key set (tiny); supplier is a
+    dimension -> ``broadcast_join`` onto lineitem (map-side, zero
+    shuffle); customer x orders and the orderkey join are the genuinely
+    large-x-large legs -> ``hash_join`` (one tagged-union exchange
+    each). The same-nation predicate filters AFTER the joins, exactly
+    as written; revenue is exact int64."""
+    from ray.data.aggregate import Count, Sum
+
+    from doppel_ray.stages.joins import broadcast_join, hash_join
+    from doppel_ray.stages.util import collect_table
+
+    lo = np.datetime64(_Q5_LO, "us").item()
+    hi = np.datetime64(_Q5_HI, "us").item()
+
+    nation = collect_table(
+        read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    )
+    region = collect_table(
+        read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    )
+    region_keys = region.filter(pc.equal(region["r_name"], _Q5_REGION))[
+        "r_regionkey"
+    ]
+    nation = nation.filter(pc.is_in(nation["n_regionkey"], value_set=region_keys))
+    nation_keys = nation["n_nationkey"]
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp_slim = supp.map_batches(
+        lambda b: b.filter(pc.is_in(b["s_nationkey"], value_set=nation_keys)),
+        batch_format="pyarrow",
+    )
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=nation_keys)),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))
+                ),
+                pc.less(b["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["o_orderkey", "c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust_orders = hash_join(
+        cust, orders, on="c_custkey", left_cols=["c_nationkey"],
+        right_cols=["o_orderkey"],
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "s_suppkey": b["l_suppkey"],
+                "rev_c100": pa.array(
+                    _cents(b["l_extendedprice"]) * (100 - _cents(b["l_discount"])),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li_supp = broadcast_join(
+        li, supp_slim, on="s_suppkey", small_cols=["s_nationkey"]
+    )
+    joined = hash_join(
+        cust_orders,
+        li_supp,
+        on="o_orderkey",
+        left_cols=["c_nationkey"],
+        right_cols=["s_nationkey", "rev_c100"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(
+                pc.cast(b["c_nationkey"], pa.int32()),
+                pc.cast(b["s_nationkey"], pa.int32()),
+            )
+        ).select(["s_nationkey", "rev_c100"]),
+        batch_format="pyarrow",
+    )
+    agg = joined.groupby("s_nationkey").aggregate(
+        Sum("rev_c100", alias_name="revenue_c100"), Count(alias_name="n_rows")
+    )
+    out = finalize(
+        agg,
+        pa.schema(
+            [
+                ("s_nationkey", pa.int32()),
+                ("revenue_c100", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]
+        ),
+    )
+    # attach the nation name from the (driver-resident, <= 25-row) dim
+    idx = pc.index_in(out["s_nationkey"], value_set=nation["n_nationkey"])
+    return pa.table(
+        {
+            "n_name": nation["n_name"].take(idx),
+            "revenue_c100": out["revenue_c100"],
+            "n_rows": out["n_rows"],
+        }
+    )
+
+
+_Q10_LO, _Q10_HI = "1997-01-01", "1997-07-01"
+_Q10_K = 20
+
+
+@query(
+    "returned_top_customers",
+    f"""
+    SELECT c_custkey,
+           c_name,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c100
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q10_HI}'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue_c100 DESC, c_custkey
+    LIMIT {_Q10_K}
+    """,
+)
+def returned_top_customers(sf_dir: str):
+    """TPC-H Q10-flavor returned-item report: lineitem pre-reduces to
+    (orderkey, revenue) partials BEFORE the join (the combiner-first
+    rule — the exchange carries one row per surviving order line, no
+    payloads), one hash join against the date-windowed orders, a narrow
+    custkey groupby, top-20 off the aggregated relation, and the
+    customer names come from a 20-key broadcast filter over the
+    customer stream — the big dim never ships anywhere."""
+    from ray.data.aggregate import Sum
+
+    from doppel_ray.stages.joins import hash_join
+    from doppel_ray.stages.util import collect_table
+
+    lo = np.datetime64(_Q10_LO, "us").item()
+    hi = np.datetime64(_Q10_HI, "us").item()
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: (
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "rev_c100": pa.array(
+                        _cents(t["l_extendedprice"])
+                        * (100 - _cents(t["l_discount"])),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )(b.filter(pc.equal(b["l_returnflag"], "R"))),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))
+                ),
+                pc.less(b["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        orders, li, on="o_orderkey", left_cols=["o_custkey"],
+        right_cols=["rev_c100"],
+    )
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_c100", alias_name="revenue_c100")
+    )
+    top = finalize(
+        per_cust.sort(
+            key=["revenue_c100", "o_custkey"], descending=[True, False]
+        ).limit(_Q10_K),
+        pa.schema([("o_custkey", pa.int64()), ("revenue_c100", pa.int64())]),
+    )
+    keys = top["o_custkey"]
+    names = collect_table(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=keys)),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+    idx = pc.index_in(keys, value_set=names["c_custkey"])
+    return pa.table(
+        {
+            "c_custkey": keys,
+            "c_name": names["c_name"].take(idx),
+            "revenue_c100": top["revenue_c100"],
+        }
+    )

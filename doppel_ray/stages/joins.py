@@ -310,3 +310,72 @@ def hash_join(
         )
 
     return bucketed_group_apply(union, on, per_bucket, num_buckets=num_buckets)
+
+
+#: rows above which a "small" join side is refused for broadcast — at
+#: ~32 B/row of key + a few payload columns this is a few hundred MB in
+#: every worker heap, the practical ceiling for a replicated table
+BROADCAST_ROW_LIMIT = 5_000_000
+
+
+def broadcast_join(
+    big: Dataset,
+    small,
+    *,
+    on: str,
+    small_cols: list[str],
+    how: str = "inner",
+    limit: int = BROADCAST_ROW_LIMIT,
+) -> Dataset:
+    """Map-side equi-join against a SMALL unique-keyed side (the star-
+    schema dimension-lookup regime): the small side is materialized once,
+    ``ray.put`` once, and every batch of the big side resolves matches
+    with one vectorized ``pc.index_in`` + take — ZERO shuffles, the big
+    side streams through untouched. This is the join to reach for at
+    100 TB whenever one side is a dimension table; ``hash_join`` (one
+    tagged-union exchange) is for the genuinely large-x-large case.
+
+    ``small`` is a Dataset or a pyarrow Table with column ``on`` +
+    ``small_cols``. Keys on the small side must be UNIQUE (it is a
+    lookup, not a multiplying join) — duplicated keys raise. ``how`` is
+    'inner' (non-matching big rows dropped) or 'left' (kept, small cols
+    null). Row-count guard: > ``limit`` rows raises rather than silently
+    replicating a table that should have gone through ``hash_join``.
+    """
+    import ray
+
+    from doppel_ray.stages.util import cached_get, collect_table
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    if isinstance(small, Dataset):
+        small_tbl = collect_table(small.select_columns([on, *small_cols]))
+    else:
+        small_tbl = small.select([on, *small_cols])
+    if small_tbl.num_rows > limit:
+        raise ValueError(
+            f"broadcast_join: small side has {small_tbl.num_rows} rows "
+            f"(> limit {limit}); use hash_join"
+        )
+    small_tbl = small_tbl.combine_chunks()
+    keys = small_tbl[on]
+    if pa.compute.count_distinct(keys).as_py() != small_tbl.num_rows:
+        raise ValueError(
+            "broadcast_join: small-side keys are not unique; this is a "
+            "lookup join — pre-aggregate or use hash_join"
+        )
+    ref = ray.put(small_tbl)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tbl: pa.Table = cached_get(ref)
+        idx = pa.compute.index_in(batch[on], value_set=tbl[on])
+        if how == "inner":
+            sel = pa.compute.is_valid(idx)
+            batch = batch.filter(sel)
+            idx = idx.filter(sel)
+        out = batch
+        for c in small_cols:
+            out = out.append_column(c, tbl[c].take(idx))
+        return out
+
+    return big.map_batches(per_batch, batch_format="pyarrow")

@@ -259,3 +259,84 @@ def test_hash_join_left_preserves_large_int64(ray_session):
     ).take_all()}
     assert got[1] == big
     assert got[2] is None
+
+
+class TestBroadcastJoin:
+    def _sides(self):
+        big = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+                    "lv": pa.array(list("abcde")),
+                }
+            )
+        )
+        small = pa.table(
+            {
+                "k": pa.array([1, 2, 4], pa.int64()),
+                "rv": pa.array([10, 20, 40], pa.int64()),
+            }
+        )
+        return big, small
+
+    def test_inner_matches_pandas(self, ray_session):
+        from doppel_ray.stages.joins import broadcast_join
+
+        big, small = self._sides()
+        got = broadcast_join(big, small, on="k", small_cols=["rv"]).take_all()
+        want = pd.DataFrame({"k": [1, 1, 2, 3, 5], "lv": list("abcde")}).merge(
+            small.to_pandas(), on="k", how="inner"
+        )
+        assert sorted((r["k"], r["lv"], r["rv"]) for r in got) == sorted(
+            map(tuple, want.values.tolist())
+        )
+
+    def test_left_keeps_unmatched_with_nulls(self, ray_session):
+        from doppel_ray.stages.joins import broadcast_join
+
+        big, small = self._sides()
+        got = broadcast_join(
+            big, small, on="k", small_cols=["rv"], how="left"
+        ).take_all()
+        rows = sorted((r["k"], r["lv"], r["rv"]) for r in got)
+        assert (3, "d", None) in rows and (5, "e", None) in rows
+        assert len(rows) == 5
+
+    def test_small_side_dataset_input(self, ray_session):
+        from doppel_ray.stages.joins import broadcast_join
+
+        big, small = self._sides()
+        got = broadcast_join(
+            big, rd.from_arrow(small), on="k", small_cols=["rv"]
+        ).take_all()
+        assert len(got) == 3
+
+    def test_duplicate_small_keys_raise(self, ray_session):
+        import pytest
+
+        from doppel_ray.stages.joins import broadcast_join
+
+        big, _ = self._sides()
+        dup = pa.table(
+            {"k": pa.array([1, 1], pa.int64()), "rv": pa.array([10, 11], pa.int64())}
+        )
+        with pytest.raises(ValueError, match="not unique"):
+            broadcast_join(big, dup, on="k", small_cols=["rv"])
+
+    def test_row_limit_raises(self, ray_session):
+        import pytest
+
+        from doppel_ray.stages.joins import broadcast_join
+
+        big, small = self._sides()
+        with pytest.raises(ValueError, match="hash_join"):
+            broadcast_join(big, small, on="k", small_cols=["rv"], limit=2)
+
+    def test_bad_how_raises(self, ray_session):
+        import pytest
+
+        from doppel_ray.stages.joins import broadcast_join
+
+        big, small = self._sides()
+        with pytest.raises(ValueError, match="how"):
+            broadcast_join(big, small, on="k", small_cols=["rv"], how="outer")

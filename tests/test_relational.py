@@ -64,3 +64,37 @@ def test_shipping_priority_topk_contract(ray_session):
     for i in range(1, len(out)):
         if rev[i] == rev[i - 1]:
             assert out["l_orderkey"][i] > out["l_orderkey"][i - 1]
+
+
+def test_returned_top_customers_contract(ray_session):
+    """Top-20 ordering + tie-break, and names resolved for every row."""
+    from doppel_ray.pipelines import registry
+
+    out = registry()["returned_top_customers"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) <= 20
+    rev = out["revenue_c100"].tolist()
+    assert rev == sorted(rev, reverse=True)
+    for i in range(1, len(out)):
+        if rev[i] == rev[i - 1]:
+            assert out["c_custkey"][i] > out["c_custkey"][i - 1]
+    assert out["c_name"].notna().all()
+
+
+def test_regional_supplier_volume_nonvacuous(ray_session):
+    """The region filter + same-nation predicate must leave real rows
+    (a vacuously-empty Q5 would pass the oracle trivially)."""
+    from doppel_ray.pipelines import registry
+
+    out = registry()["regional_supplier_volume"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 1
+    assert (out["n_rows"] > 0).all()
+    assert out["n_name"].str.startswith("NATION_").all()
+
+
+def test_revenue_forecast_nonvacuous(ray_session):
+    from doppel_ray.pipelines import registry
+
+    out = registry()["revenue_forecast"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 1
+    assert int(out["n_rows"][0]) > 0
+    assert int(out["revenue_c10000"][0]) > 0
