@@ -1598,3 +1598,68 @@ def c4_clean_docs(sf_dir: str):
             ]
         ),
     )
+
+
+_PCT_P = 0.9
+
+
+@query(
+    "token_len_percentile_filter",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             length(regexp_extract_all(text, '{A.WS_TOKEN_RE}'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens > 0
+                  THEN (n_chars - greatest(n_tokens - 1, 0)) / greatest(n_tokens, 1)
+                  ELSE 0.0 END AS mean_token_len
+      FROM f
+    )
+    SELECT doc_id, mean_token_len FROM s
+    WHERE mean_token_len <= (SELECT quantile_disc(mean_token_len, {_PCT_P}) FROM s)
+    """,
+)
+def token_len_percentile_filter(sf_dir: str):
+    """Drop the long-token tail: keep documents whose mean token length
+    is at or below the corpus's 90th percentile — the percentile-cutoff
+    curation shape (CCNet-style) over a genuinely CONTINUOUS per-doc
+    feature (mean_token_len is near-unique, unlike the heavily-tied
+    composite quality score).
+
+    The cutoff comes from ``exact_quantiles`` with ``driver_limit=64``,
+    deliberately below the feature's cardinality so the distributed
+    bucketed cumulative walk (the 100 TB regime for any float column —
+    a near-unique score can never take the driver histogram) runs in the
+    driver-visible surface, not just in tests. The walk returns the same
+    element DuckDB's ``quantile_disc`` picks, and since the cutoff is an
+    element of the column itself, the <= filter is exact on both engines
+    (each ratio is one IEEE division of the same integers)."""
+    from doppel_ray.stages.quantiles import exact_quantiles
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    scored = (
+        textstats.add_quality_columns(ds)
+        .select_columns(["doc_id", "mean_token_len"])
+        # narrow (int64, float64) projection; materialized because the
+        # quantile walk + the cutoff filter both consume it, and
+        # recomputing the RE2 feature pass per consumer would triple the
+        # scan. 16 B/row — object-store-bounded even at corpus scale.
+        .materialize()
+    )
+    [(_, cutoff)] = exact_quantiles(
+        scored, "mean_token_len", [_PCT_P], driver_limit=64
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.less_equal(batch["mean_token_len"], float(cutoff))
+        )
+
+    return finalize(
+        scored.map_batches(keep, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("mean_token_len", pa.float64())]),
+    )

@@ -240,3 +240,54 @@ class TestChunkDocuments:
 
         with pytest.raises(ValueError):
             self._run(["a"], chunk_tokens=0)
+
+
+class TestTokenLenPercentileFilter:
+    def test_keeps_p_fraction_and_cutoff_is_tight(self, ray_session):
+        """~p of the corpus survives (exact up to ties at the cutoff)
+        and every kept value <= every dropped value would have been
+        violated — i.e. the cutoff is the quantile element itself."""
+        from doppel_ray.pipelines import registry
+        from doppel_ray.sources.parquet import read_documents
+        from doppel_ray.stages import textstats
+
+        sf = "/root/testdata/sf0.001"
+        out = registry()["token_len_percentile_filter"](sf).to_pandas()
+        scored = (
+            textstats.add_quality_columns(read_documents(sf, columns=["doc_id", "text"]))
+            .select_columns(["doc_id", "mean_token_len"])
+            .to_pandas()
+        )
+        n = len(scored)
+        vals = sorted(scored["mean_token_len"])
+        import math
+
+        cutoff = vals[max(math.ceil(0.9 * n) - 1, 0)]
+        want = scored[scored["mean_token_len"] <= cutoff]
+        assert len(out) == len(want)
+        assert set(out["doc_id"]) == set(want["doc_id"])
+        # at least p of the corpus survives; the overshoot is only ties
+        assert len(out) >= math.ceil(0.9 * n) - 1
+
+    def test_continuous_path_runs(self, ray_session):
+        """driver_limit=64 must route the near-unique float column down
+        the bucketed cumulative walk (not the driver histogram) — pin by
+        calling the quantile engine the query uses with its gate."""
+        from doppel_ray.sources.parquet import read_documents
+        from doppel_ray.stages import quantiles, textstats
+        from doppel_ray.stages.hashes import approx_distinct
+
+        sf = "/root/testdata/sf0.001"
+        scored = (
+            textstats.add_quality_columns(read_documents(sf, columns=["doc_id", "text"]))
+            .select_columns(["doc_id", "mean_token_len"])
+            .materialize()
+        )
+        assert approx_distinct(scored, "mean_token_len") > 64
+        walk = quantiles.exact_quantiles(
+            scored, "mean_token_len", [0.9], driver_limit=64
+        )
+        hist = quantiles.exact_quantiles(
+            scored, "mean_token_len", [0.9], driver_limit=10**6
+        )
+        assert walk == hist
