@@ -1663,3 +1663,43 @@ def token_len_percentile_filter(sf_dir: str):
         scored.map_batches(keep, batch_format="pyarrow"),
         pa.schema([("doc_id", pa.int64()), ("mean_token_len", pa.float64())]),
     )
+
+
+@query(
+    "sources_per_lang",
+    """
+    SELECT lang,
+           count(DISTINCT source) AS n_sources,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sources_per_lang(sf_dir: str):
+    """Exact distinct-count per group: (lang, source) pairs dedupe with
+    per-batch unique partials + cnt carries, ONE narrow two-key groupby
+    (the exchange holds distinct pairs + counts, never documents), then
+    a tiny per-lang rollup counts pairs and sums docs."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_documents(sf_dir, columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # in-batch (lang, source) combine: one row per pair + its count
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "cnt"])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    agg = pairs.groupby("lang").aggregate(
+        Count(alias_name="n_sources"), Sum("n", alias_name="n_docs")
+    )
+    return finalize(
+        agg,
+        pa.schema(
+            [("lang", pa.string()), ("n_sources", pa.int64()), ("n_docs", pa.int64())]
+        ),
+    )

@@ -555,3 +555,78 @@ def returned_top_customers(sf_dir: str):
             "revenue_c100": top["revenue_c100"],
         }
     )
+
+
+_Q4_LO, _Q4_HI = "1997-01-01", "1997-04-01"
+_Q4_QTY = 45.0
+
+
+@query(
+    "priority_order_counts",
+    f"""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= {_Q4_QTY})
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_order_counts(sf_dir: str):
+    """TPC-H Q4-flavor priority check: the EXISTS big-big semi-join
+    shape. The lineitem side reduces to DISTINCT qualifying orderkeys
+    (in-batch dedupe first, then one narrow key-only groupby — the
+    exchange carries keys, never lineitem payloads), the date-windowed
+    orders inner-join that key relation (a semi-join because the keys
+    are distinct), and the priority rollup is a second, tiny shuffle."""
+    from ray.data.aggregate import Count
+
+    from doppel_ray.stages.joins import hash_join
+
+    lo = np.datetime64(_Q4_LO, "us").item()
+    hi = np.datetime64(_Q4_HI, "us").item()
+
+    li_keys = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(
+            # in-batch dedupe shrinks the exchange before the groupby
+            lambda b: pa.table(
+                {
+                    "o_orderkey": pa.compute.unique(
+                        b.filter(
+                            pa.compute.greater_equal(b["l_quantity"], _Q4_QTY)
+                        )["l_orderkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(
+            lambda b: b.select(["o_orderkey"]), batch_format="pyarrow"
+        )
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))
+                ),
+                pc.less(b["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    hit = hash_join(
+        orders, li_keys, on="o_orderkey", left_cols=["o_orderpriority"],
+        right_cols=[],
+    )
+    agg = hit.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    return finalize(
+        agg,
+        pa.schema([("o_orderpriority", pa.string()), ("n_orders", pa.int64())]),
+    )

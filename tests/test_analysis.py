@@ -291,3 +291,30 @@ class TestTokenLenPercentileFilter:
             scored, "mean_token_len", [0.9], driver_limit=10**6
         )
         assert walk == hist
+
+
+def test_sources_per_lang_distinct_is_exact(ray_session):
+    """Distinct-per-group must match a driver-side pandas nunique."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from doppel_ray.pipelines import registry
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        registry()["sources_per_lang"](sf)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["lang", "source"]).to_pandas()
+    want = (
+        df.groupby("lang")
+        .agg(n_sources=("source", "nunique"), n_docs=("source", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_sources": "int64", "n_docs": "int64"}), want
+    )

@@ -98,3 +98,24 @@ def test_revenue_forecast_nonvacuous(ray_session):
     assert len(out) == 1
     assert int(out["n_rows"][0]) > 0
     assert int(out["revenue_c10000"][0]) > 0
+
+
+def test_priority_order_counts_nonvacuous(ray_session):
+    """EXISTS semi-join must neither multiply (n_orders bounded by the
+    windowed order count) nor be vacuously empty."""
+    import duckdb
+
+    from doppel_ray.pipelines import registry
+
+    sf = "/root/testdata/sf0.001"
+    out = registry()["priority_order_counts"](sf).to_pandas()
+    assert len(out) >= 1 and (out["n_orders"] > 0).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    window_total = con.execute(
+        "SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+        " AND o_orderdate < TIMESTAMP '1997-04-01'"
+    ).fetchone()[0]
+    assert out["n_orders"].sum() <= window_total
