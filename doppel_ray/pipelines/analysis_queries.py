@@ -1703,3 +1703,54 @@ def sources_per_lang(sf_dir: str):
             [("lang", pa.string()), ("n_sources", pa.int64()), ("n_docs", pa.int64())]
         ),
     )
+
+
+#: pivot contract: the wide-column set is FIXED (like SQL PIVOT ... IN),
+#: never discovered from data — a static schema is what lets the result
+#: stream through typed Arrow batches.
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "lang_source_pivot",
+    """
+    SELECT source,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+           count(*) AS n_total
+    FROM documents
+    GROUP BY source
+    """,
+)
+def lang_source_pivot(sf_dir: str):
+    """PIVOT: source x lang count matrix as wide columns. The corpus
+    reduces in ONE narrow (lang, source) count groupby; the reshape to
+    wide runs on the bounded aggregate (|langs| x |sources| rows).
+    Unlisted langs still count into n_total, matching the oracle."""
+    agg = finalize(
+        read_documents(sf_dir, columns=["lang", "source"])
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n")),
+        pa.schema(
+            [("source", pa.string()), ("lang", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    df = agg.to_pandas()
+    wide = df.pivot_table(
+        index="source", columns="lang", values="n", aggfunc="sum", fill_value=0
+    )
+    sources = sorted(df["source"].unique())
+    cols: dict[str, object] = {"source": pa.array(sources, type=pa.string())}
+    for lang in _PIVOT_LANGS:
+        vals = (
+            wide[lang].reindex(sources).fillna(0).astype("int64").to_numpy()
+            if lang in wide.columns
+            else np.zeros(len(sources), dtype=np.int64)
+        )
+        cols[f"n_{lang}"] = pa.array(vals, type=pa.int64())
+    totals = df.groupby("source")["n"].sum().reindex(sources).to_numpy()
+    cols["n_total"] = pa.array(totals.astype("int64"), type=pa.int64())
+    return pa.table(cols)

@@ -365,3 +365,41 @@ def nation_order_stats(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "event_lag_gaps",
+    """
+    SELECT event_id, user_id, gap_us FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    WHERE gap_us IS NOT NULL
+    """,
+)
+def event_lag_gaps(sf_dir: str):
+    """``lag() OVER (PARTITION BY user ORDER BY ts, id)`` inter-event
+    gaps (stages/rank.py lag_delta_us): one bucketed shuffle on user_id
+    co-locates each user's events, then a vectorized lexsort +
+    groupby-diff per bucket. Ties on ts break by event_id on both
+    engines, so the predecessor of every row is identical. Each user's
+    first event (no predecessor) is dropped, matching the oracle's
+    IS NOT NULL."""
+    from doppel_ray.stages.rank import lag_delta_us
+
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id"])
+    out = lag_delta_us(ds, "user_id", "ts", "event_id").map_batches(
+        lambda b: b.select(["event_id", "user_id", "gap_us"]),
+        batch_format="pyarrow",
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("gap_us", pa.int64()),
+            ]
+        ),
+    )

@@ -630,3 +630,187 @@ def priority_order_counts(sf_dir: str):
         agg,
         pa.schema([("o_orderpriority", pa.string()), ("n_orders", pa.int64())]),
     )
+
+
+@query(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, price_c, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+                          o_orderkey) AS BIGINT) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(sf_dir: str):
+    """``row_number() OVER (PARTITION BY custkey ORDER BY price DESC)``
+    with a top-3-per-customer prune — the distributed window-function
+    shape (stages/rank.py): ONE bucketed shuffle on the partition key,
+    per-bucket C-speed sort + cumcount, the N-per-key prune applied
+    INSIDE the bucket so the exchange out is bounded by 3 x customers.
+    Money floored to cents on both engines so ordering ties match."""
+    from doppel_ray.stages.rank import window_rank
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "price_c": pa.array(_cents(b["o_totalprice"]), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = window_rank(
+        ds,
+        "o_custkey",
+        ["price_c", "o_orderkey"],
+        ascending=[False, True],
+        out_col="rnk",
+        limit=3,
+    )
+    return finalize(
+        ranked,
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("price_c", pa.int64()),
+                ("rnk", pa.int64()),
+            ]
+        ),
+    )
+
+
+_INACTIVE_CUTOFF = "1998-01-01"
+
+
+@query(
+    "inactive_customers",
+    f"""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{_INACTIVE_CUTOFF}')
+    """,
+)
+def inactive_customers(sf_dir: str):
+    """NOT EXISTS anti-join: customers with no recent order. The fact
+    side reduces to DISTINCT qualifying custkeys (in-batch unique, then
+    a narrow key-only groupby — the exchange carries keys only), and
+    the customer stream anti-filters against the broadcast key set
+    (semi_filter invert=True — exact is_in/searchsorted, NEVER the
+    Bloom path: a Bloom FP would wrongly drop a customer). Broadcast is
+    bounded by the active-customer dimension, the same class as the
+    dimension-lookup joins; past that, the exact fallback is the
+    tagged-union bucketed anti-join (stages/joins.py shape)."""
+    from doppel_ray.stages.exact import semi_filter
+    from doppel_ray.stages.util import collect_table
+
+    cutoff = np.datetime64(_INACTIVE_CUTOFF, "us").item()
+    active = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "k": pc.unique(
+                        b.filter(
+                            pc.greater_equal(
+                                b["o_orderdate"],
+                                pa.scalar(cutoff, type=pa.timestamp("us")),
+                            )
+                        )["o_custkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Count(alias_name="__n"))
+    )
+    keys = collect_table(
+        active.map_batches(lambda b: b.select(["k"]), batch_format="pyarrow"),
+        pa.schema([("k", pa.int64())]),
+    )["k"].combine_chunks()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = semi_filter(cust, "c_custkey", keys, invert=True)
+    return finalize(
+        out,
+        pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+    )
+
+
+_ROLL_LO, _ROLL_HI = "1997-01-01", "1997-07-01"
+
+
+@query(
+    "rolling_daily_revenue",
+    f"""
+    SELECT day_us, rev_c,
+           CAST(sum(rev_c) OVER (ORDER BY day_us
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev7_c
+    FROM (
+      SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) AS BIGINT) AS day_us,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_ROLL_LO}'
+        AND o_orderdate <  TIMESTAMP '{_ROLL_HI}'
+      GROUP BY 1)
+    """,
+)
+def rolling_daily_revenue(sf_dir: str):
+    """Trailing-7-row rolling revenue over daily totals: the corpus
+    reduces to one row per calendar day (a narrow distributed groupby —
+    the only stage that sees data volume), and the rolling window runs
+    on the driver over the CALENDAR-BOUNDED aggregate via one int64
+    cumsum difference (stages/rank.py rolling_sum_rows) — the axis is
+    bounded by days in the date window, never by corpus size, the same
+    bounded-finalize class as every other oracle-paired aggregate."""
+    from doppel_ray.stages.rank import rolling_sum_rows
+
+    lo = np.datetime64(_ROLL_LO, "us").item()
+    hi = np.datetime64(_ROLL_HI, "us").item()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(
+                    batch["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))
+                ),
+                pc.less(
+                    batch["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))
+                ),
+            )
+        )
+        day = pc.cast(pc.floor_temporal(b["o_orderdate"], unit="day"), pa.int64())
+        return pa.table(
+            {
+                "day_us": day,
+                "rev_c": pa.array(_cents(b["o_totalprice"]), type=pa.int64()),
+            }
+        )
+
+    daily = finalize(
+        read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Sum("rev_c", alias_name="rev_c")),
+        pa.schema([("day_us", pa.int64()), ("rev_c", pa.int64())]),
+    )
+    order = np.argsort(daily["day_us"].to_numpy(), kind="stable")
+    day_us = daily["day_us"].to_numpy()[order]
+    rev = daily["rev_c"].to_numpy()[order]
+    return pa.table(
+        {
+            "day_us": pa.array(day_us, type=pa.int64()),
+            "rev_c": pa.array(rev, type=pa.int64()),
+            "rev7_c": pa.array(rolling_sum_rows(rev, 7), type=pa.int64()),
+        }
+    )
