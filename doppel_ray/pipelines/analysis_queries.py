@@ -1754,3 +1754,111 @@ def lang_source_pivot(sf_dir: str):
     totals = df.groupby("source")["n"].sum().reindex(sources).to_numpy()
     cols["n_total"] = pa.array(totals.astype("int64"), type=pa.int64())
     return pa.table(cols)
+
+
+_SETOP_CTE = rf"""
+    WITH t AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '{A.WS_TOKEN_RE}')) AS tok
+      FROM documents WHERE lang IN ('en', 'de')
+    ),
+    d AS (SELECT DISTINCT tok, lang FROM t)
+"""
+
+
+def _en_de_tagged(sf_dir: str):
+    """Tagged union of distinct-per-batch (token, side) pairs: en=1,
+    de=2. Tokens explode batch-locally; the side bit rides along so the
+    set-op shuffle carries narrow (token, uint8) rows only."""
+    import pyarrow.compute as pc
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = batch.filter(
+            pc.is_in(batch["lang"], value_set=pa.array(["en", "de"]))
+        )
+        if keep.num_rows == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], type=pa.string()),
+                    "side": pa.array([], type=pa.uint8()),
+                }
+            )
+        s = pc.utf8_lower(keep["text"]).to_pandas()
+        toks = s.str.findall(A.WS_TOKEN_RE)
+        bits = np.where(
+            keep["lang"].to_pandas().to_numpy() == "en", 1, 2
+        ).astype(np.uint8)
+        lens = toks.str.len().to_numpy()
+        flat = toks.explode().dropna()
+        return pa.table(
+            {
+                "v": pa.array(flat.to_numpy(), type=pa.string()),
+                "side": pa.array(np.repeat(bits, lens), type=pa.uint8()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@query(
+    "token_set_overlap",
+    _SETOP_CTE
+    + """
+    , m AS (SELECT tok, count(*) AS sides FROM d GROUP BY tok)
+    SELECT CAST((SELECT count(*) FROM d WHERE lang = 'en') AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM d WHERE lang = 'de') AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM m WHERE sides = 2) AS BIGINT) AS n_common,
+           CAST((SELECT count(*) FROM m) AS BIGINT) AS n_union,
+           CAST(floor(10000.0 * (SELECT count(*) FROM m WHERE sides = 2)
+                      / (SELECT count(*) FROM m)) AS BIGINT) AS jaccard_bp
+    """,
+)
+def token_set_overlap(sf_dir: str):
+    """Vocabulary overlap between the en and de slices — the distinct-
+    set cardinality primitive (stages/setops.py): batch-local distinct
+    (token, side-bit) fold, ONE narrow bucketed shuffle, per-bucket OR
+    + four counts, driver sums num_buckets rows. Jaccard reported in
+    floored basis points so the oracle compare is integer-exact."""
+    from doppel_ray.stages.setops import set_cardinalities
+
+    c = set_cardinalities(_en_de_tagged(sf_dir))
+    bp = (
+        int(np.floor(10000.0 * c["n_common"] / c["n_union"]))
+        if c["n_union"]
+        else 0
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([c["n_a"]], type=pa.int64()),
+            "n_b": pa.array([c["n_b"]], type=pa.int64()),
+            "n_common": pa.array([c["n_common"]], type=pa.int64()),
+            "n_union": pa.array([c["n_union"]], type=pa.int64()),
+            "jaccard_bp": pa.array([bp], type=pa.int64()),
+        }
+    )
+
+
+@query(
+    "shared_tokens",
+    _SETOP_CTE
+    + """
+    SELECT tok FROM d WHERE lang = 'en'
+    INTERSECT
+    SELECT tok FROM d WHERE lang = 'de'
+    """,
+)
+def shared_tokens(sf_dir: str):
+    """SQL INTERSECT [DISTINCT]: tokens present in BOTH the en and de
+    vocabularies (stages/setops.py set_op_rows mode='intersect') — each
+    bucket emits its qualifying distinct values, streaming, exactly
+    once."""
+    from doppel_ray.stages.setops import set_op_rows
+
+    out = set_op_rows(_en_de_tagged(sf_dir), "intersect").map_batches(
+        lambda b: b.rename_columns(["tok"]), batch_format="pyarrow"
+    )
+    return finalize(out, pa.schema([("tok", pa.string())]))
