@@ -814,3 +814,73 @@ def rolling_daily_revenue(sf_dir: str):
             "rev7_c": pa.array(rolling_sum_rows(rev, 7), type=pa.int64()),
         }
     )
+
+
+@query(
+    "acctbal_band_coverage",
+    """
+    WITH c AS (SELECT CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+                      count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT CAST(floor(s_acctbal / 100) AS BIGINT) AS band,
+                      count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.band, s.band) AS band,
+           CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.band = s.band
+    """,
+)
+def acctbal_band_coverage(sf_dir: str):
+    """FULL OUTER JOIN: account-balance band histogram of customers vs
+    suppliers, keeping bands present on either side (unmatched side
+    null -> 0). Both inputs pre-reduce to narrow per-band counts before
+    the join, so the exchange carries band histograms, never rows."""
+    from ray.data.aggregate import Count
+
+    from doppel_ray.stages.joins import hash_join
+
+    def banded(table: str, col: str, out: str):
+        return (
+            read_table(sf_dir, table, columns=[col])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "band": pa.array(
+                            np.floor(
+                                b[col].to_numpy(zero_copy_only=False) / 100.0
+                            ).astype(np.int64),
+                            type=pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("band")
+            .aggregate(Count(alias_name=out))
+        )
+
+    joined = hash_join(
+        banded("customer", "c_acctbal", "n_cust"),
+        banded("supplier", "s_acctbal", "n_supp"),
+        on="band",
+        left_cols=["n_cust"],
+        right_cols=["n_supp"],
+        how="outer",
+    )
+    filled = joined.map_batches(
+        lambda b: pa.table(
+            {
+                "band": b["band"],
+                "n_cust": pc.fill_null(b["n_cust"], 0),
+                "n_supp": pc.fill_null(b["n_supp"], 0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return finalize(
+        filled,
+        pa.schema(
+            [("band", pa.int64()), ("n_cust", pa.int64()), ("n_supp", pa.int64())]
+        ),
+    )

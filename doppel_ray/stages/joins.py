@@ -251,15 +251,18 @@ def hash_join(
     ONE bucketed shuffle of the tagged union co-locates both sides of
     every key, then a pandas merge resolves each bucket at C speed.
 
-    ``how`` is 'inner' or 'left'. Payload columns must not collide
-    (rename first). Unlike the dedup stages, a general join must move
-    both payloads through the exchange — when one side is small, prefer
-    the broadcast semi-join (``exact.semi_filter``) or pre-aggregate;
-    this operator is for the genuinely large-x-large case. Skewed keys
-    cost time, not correctness (one bucket per worker heap, the module's
-    standing partitioning assumption).
+    ``how`` is 'inner', 'left', or 'outer' (full outer: unmatched rows
+    of BOTH sides survive with null payloads from the other — the ``on``
+    key itself is never null because every union row carries it).
+    Payload columns must not collide (rename first). Unlike the dedup
+    stages, a general join must move both payloads through the exchange
+    — when one side is small, prefer the broadcast semi-join
+    (``exact.semi_filter``) or pre-aggregate; this operator is for the
+    genuinely large-x-large case. Skewed keys cost time, not
+    correctness (one bucket per worker heap, the module's standing
+    partitioning assumption).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     fields = [(on, _arrow_type(left, on)), (_SIDE_COL, pa.int8())]
     fields += [(c, _arrow_type(left, c)) for c in left_cols]
@@ -302,7 +305,9 @@ def hash_join(
         side = df[_SIDE_COL].to_numpy()
         ldf = df.loc[side == 0, [on, *left_cols]]
         rdf = df.loc[side == 1, [on, *right_cols]]
-        if ldf.empty or (rdf.empty and how == "inner"):
+        if (how == "inner" and (ldf.empty or rdf.empty)) or (
+            how == "left" and ldf.empty
+        ):
             return out_schema.empty_table()
         merged = ldf.merge(rdf, on=on, how=how)
         return pa.Table.from_pandas(merged, preserve_index=False).cast(

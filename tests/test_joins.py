@@ -237,7 +237,7 @@ class TestHashJoin:
 
         left, right = self._sides()
         with pytest.raises(ValueError):
-            hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"], how="outer")
+            hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"], how="cross")
 
 
 def test_hash_join_left_preserves_large_int64(ray_session):
@@ -340,3 +340,53 @@ class TestBroadcastJoin:
         big, small = self._sides()
         with pytest.raises(ValueError, match="how"):
             broadcast_join(big, small, on="k", small_cols=["rv"], how="outer")
+
+
+def test_hash_join_outer_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from doppel_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(21)
+    # key ranges chosen so BOTH sides have unmatched keys
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 60, 400), "lv": rng.integers(0, 10**12, 400)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(30, 90, 300), "rv": rng.integers(0, 10**12, 300)}
+    )
+    got = hash_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        on="k",
+        left_cols=["lv"],
+        right_cols=["rv"],
+        how="outer",
+    ).to_pandas()
+    want = left.merge(right, on="k", how="outer")
+    assert len(got) == len(want)
+    assert set(got["k"]) == set(want["k"])
+    # both-sided unmatched rows survive with nulls
+    assert got.loc[~got["k"].isin(right["k"]), "rv"].isna().all()
+    assert got.loc[~got["k"].isin(left["k"]), "lv"].isna().all()
+    assert (~got["k"].isin(right["k"])).sum() > 0
+    assert (~got["k"].isin(left["k"])).sum() > 0
+    key = ["k", "lv", "rv"]
+    g = got[key].astype("float64").sort_values(key, ignore_index=True)
+    w = want[key].astype("float64").sort_values(key, ignore_index=True)
+    # int64 payloads above 2^53 are exercised elsewhere; here values are
+    # < 2^40 so the float64 canonicalization is exact
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_hash_join_rejects_unknown_how(ray_session):
+    import ray.data
+    import pytest
+
+    from doppel_ray.stages.joins import hash_join
+
+    ds = ray.data.from_items([{"k": 1, "v": 2}])
+    with pytest.raises(ValueError):
+        hash_join(ds, ds, on="k", left_cols=["v"], right_cols=[], how="cross")
