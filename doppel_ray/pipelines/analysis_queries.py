@@ -1862,3 +1862,166 @@ def shared_tokens(sf_dir: str):
         lambda b: b.rename_columns(["tok"]), batch_format="pyarrow"
     )
     return finalize(out, pa.schema([("tok", pa.string())]))
+
+
+_BIGRAM_MIN = 20
+
+
+@query(
+    "bigram_counts",
+    rf"""
+    WITH tok AS (SELECT doc_id,
+                        regexp_extract_all(lower(text), '{A.WS_TOKEN_RE}') AS ts
+                 FROM documents),
+    pairs AS (SELECT ts[i] || ' ' || ts[i+1] AS bigram
+              FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i))
+    SELECT bigram, count(*) AS n
+    FROM pairs GROUP BY bigram HAVING count(*) >= {_BIGRAM_MIN}
+    """,
+)
+def bigram_counts(sf_dir: str):
+    """Corpus bigram (collocation) counts above a support floor —
+    the n-gram statistic behind PMI collocation mining. Bigrams are
+    built vectorized from the flattened token stream (one numpy slice
+    pair per batch; document boundaries masked so no bigram crosses
+    docs), counted batch-locally first (combiner), then one narrow
+    (bigram, partial-count) groupby sums — the shuffle carries distinct
+    bigrams per batch, never the token stream."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.utf8_lower(batch["text"]).to_pandas()
+        toks = s.str.findall(A.WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy()
+        flat = toks.explode().dropna().to_numpy()
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "pn": pa.array([], type=pa.int64()),
+                }
+            )
+        # doc-boundary mask: position i starts a bigram unless it is the
+        # last token of its document
+        ends = np.cumsum(lens[lens > 0]) - 1  # last-token index per doc
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[ends < len(flat) - 1]] = False
+        left = flat[:-1][keep]
+        right = flat[1:][keep]
+        bg = pd.Series(left) + " " + pd.Series(right)
+        vc = bg.value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), type=pa.string()),
+                "pn": pa.array(vc.to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("pn", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pa.compute.greater_equal(b["n"], _BIGRAM_MIN)
+            ).select(["bigram", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return finalize(agg, pa.schema([("bigram", pa.string()), ("n", pa.int64())]))
+
+
+@query(
+    "chars_quartile_counts",
+    """
+    WITH q AS (SELECT quantile_disc(n_chars, 0.25) AS q1,
+                      quantile_disc(n_chars, 0.5)  AS q2,
+                      quantile_disc(n_chars, 0.75) AS q3
+               FROM documents)
+    SELECT lang,
+           CAST(CASE WHEN n_chars <= q1 THEN 1
+                     WHEN n_chars <= q2 THEN 2
+                     WHEN n_chars <= q3 THEN 3
+                     ELSE 4 END AS BIGINT) AS quartile,
+           count(*) AS n
+    FROM documents, q
+    GROUP BY 1, 2
+    """,
+)
+def chars_quartile_counts(sf_dir: str):
+    """Global quantile-bucket assignment (value-based NTILE): corpus
+    quartile cutoffs come from the distributed exact-quantile shuffle
+    (stages/quantiles.py — the HLL-gated scale path), then a ZERO-shuffle
+    vectorized searchsorted assigns every row its quartile and one
+    narrow (lang, quartile) groupby counts. Value-based buckets (<=
+    cutoff), not positional NTILE, so ties are deterministic on both
+    engines."""
+    from ray.data.aggregate import Count
+
+    from doppel_ray.stages.quantiles import exact_quantiles
+
+    ds = read_documents(sf_dir, columns=["lang", "n_chars"])
+    cuts = np.array(
+        [v for _, v in exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75])],
+        dtype=np.int64,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        qt = (np.searchsorted(cuts, v, side="left") + 1).astype(np.int64)
+        return pa.table(
+            {"lang": batch["lang"], "quartile": pa.array(qt, type=pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "quartile"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return finalize(
+        agg,
+        pa.schema(
+            [("lang", pa.string()), ("quartile", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+
+
+@query(
+    "lang_share",
+    """
+    SELECT lang, count(*) AS n,
+           CAST(floor(10000.0 * count(*)
+                      / (SELECT count(*) FROM documents)) AS BIGINT)
+             AS share_bp
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_share(sf_dir: str):
+    """Ratio-to-total (percent-of-report window): one narrow lang count
+    groupby; the share divides on the BOUNDED aggregate in floored basis
+    points (identical double division both engines, then floor -> exact
+    integer compare)."""
+    from ray.data.aggregate import Count
+
+    agg = finalize(
+        read_documents(sf_dir, columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n")),
+        pa.schema([("lang", pa.string()), ("n", pa.int64())]),
+    )
+    n = agg["n"].to_numpy()
+    total = int(n.sum())
+    bp = np.floor(10000.0 * n / total).astype(np.int64) if total else n * 0
+    return pa.table(
+        {
+            "lang": agg["lang"],
+            "n": agg["n"],
+            "share_bp": pa.array(bp, type=pa.int64()),
+        }
+    )

@@ -764,3 +764,73 @@ def incremental_near_dedup(sf_dir: str):
         new_ds, index_ds, minhash.MinHashConfig()
     )
     return finalize(out, pa.schema([("doc_id", pa.int64())]))
+
+
+@query("embedding_clusters")  # rows-only: k-means, no SQL analog
+def embedding_clusters(sf_dir: str):
+    """Distributed k-means cluster profile of the embeddings table:
+    deterministic hash-sampled Lloyd training (semdedup.train_centroids,
+    layout-invariant), broadcast-centroid assignment per batch, then one
+    narrow (cluster, label) count groupby; the per-cluster majority
+    label + purity numerator come off the BOUNDED k x |labels| aggregate.
+    Rows = clusters (k), so the driver's rows-only check pins the
+    cluster count; recovery of planted well-separated blobs is pinned in
+    tests/test_clusters.py."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages.ann import _normalize, batch_matrix
+    from doppel_ray.stages.semdedup import SemDeDupConfig, train_centroids
+    from doppel_ray.stages.util import cached_get
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding", "label"])
+    cfg = SemDeDupConfig(
+        n_clusters=10, train_num=1000, train_den=1000, kmeans_iters=15
+    )
+    cent = train_centroids(ds, cfg)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cached_get(ref)
+        x = _normalize(batch_matrix(batch["embedding"]))
+        a = (
+            np.argmax(x @ c.T, axis=1).astype(np.int64)
+            if x.shape[0]
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(a, type=pa.int64()),
+                "label": batch["label"].cast(pa.int64()),
+            }
+        )
+
+    agg = finalize(
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(Count(alias_name="n")),
+        pa.schema(
+            [("cluster", pa.int64()), ("label", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+    df = agg.to_pandas().sort_values(["cluster", "n", "label"])
+    top = df.groupby("cluster").tail(1)
+    tot = df.groupby("cluster")["n"].sum()
+    return pa.table(
+        {
+            "cluster": pa.array(top["cluster"].to_numpy(), type=pa.int64()),
+            "n": pa.array(
+                tot.loc[top["cluster"]].to_numpy().astype("int64"),
+                type=pa.int64(),
+            ),
+            "majority_label": pa.array(
+                top["label"].to_numpy().astype("int64"), type=pa.int64()
+            ),
+            "n_majority": pa.array(
+                top["n"].to_numpy().astype("int64"), type=pa.int64()
+            ),
+        }
+    )

@@ -88,7 +88,11 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic, layout-invariant k-means: the training set is a
     hash sample keyed on ``id_col`` (same rows at any block layout),
-    sorted by id before seeding so init is a pure function of the data."""
+    sorted by id before seeding so init is a pure function of the data.
+    Seeding is k-means++ (D^2-weighted, seeded rng) — plain uniform
+    init routinely lands the split-one-blob/merge-two local minimum
+    even on well-separated clusters (pinned in tests/test_clusters.py:
+    planted 6-blob purity 0.83 uniform vs 1.0 with ++)."""
     sample = hash_sample(
         ds.select_columns([id_col, vec_col]),
         id_col,
@@ -108,7 +112,15 @@ def train_centroids(
     x = _normalize(batch_matrix(t[vec_col]))[np.argsort(ids)]
     rng = np.random.default_rng(cfg.seed)
     k = min(cfg.n_clusters, len(x))
-    cent = x[rng.choice(len(x), size=k, replace=False)]
+    cent = np.empty((k, x.shape[1]), dtype=x.dtype)
+    cent[0] = x[rng.integers(len(x))]
+    d = np.maximum(0.0, 1.0 - x @ cent[0])  # cosine distance to nearest seed
+    for j in range(1, k):
+        w = d * d
+        s = w.sum()
+        idx = rng.choice(len(x), p=w / s) if s > 0 else rng.integers(len(x))
+        cent[j] = x[idx]
+        d = np.minimum(d, np.maximum(0.0, 1.0 - x @ cent[j]))
     for _ in range(cfg.kmeans_iters):
         assign = np.argmax(x @ cent.T, axis=1)
         for j in range(k):
