@@ -447,6 +447,15 @@ def run_scaling() -> dict:
     out = {
         "per_query_efficiency": per_q,
         "hardware_scaling_ceiling": probe["hardware_scaling_ceiling"],
+        # raw efficiency divided by what the HOST itself yields going
+        # lo -> hi in the same phase (pure-userspace spin, zero
+        # framework): > 1.0 means the pipeline scales better than spin
+        # (IO overlap), << 1.0 means the pipeline leaves cores idle
+        "substrate_normalized_efficiency": round(
+            eff / probe["hardware_scaling_ceiling"], 3
+        )
+        if probe["hardware_scaling_ceiling"]
+        else None,
         "metric": f"scaling efficiency (same job, fresh ray.init at {lo} vs {hi} CPUs)",
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -515,11 +524,20 @@ def scaling_report() -> dict:
     have = [q for q in names if q_lo[q] and q_hi[q]]
     t_lo = sum(q_lo[q] for q in have)
     t_hi = sum(q_hi[q] for q in have)
+    probe = cpu_probe()  # the host's CURRENT yield, for context
     out = {
         "metric": (
             f"scaling efficiency from persisted per-leg minima "
             f"({lo} vs {hi} CPUs, {SCALING_DOCS} docs)"
         ),
+        # CAVEAT recorded with the number: per-leg minima are best-ever
+        # across sessions, and this VM's host phases are PARALLELISM-
+        # ASYMMETRIC (low-CPU legs run clean in phases where high-CPU
+        # legs are 2x degraded — see BASELINE.md), so lo-side minima
+        # converge much faster than hi-side minima and this ratio is a
+        # LOWER BOUND on the pipeline's efficiency until a clean
+        # high-parallelism phase has been sampled.
+        "hardware_scaling_ceiling_now": probe["hardware_scaling_ceiling"],
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": round(t_lo, 3),

@@ -403,3 +403,60 @@ def event_lag_gaps(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "event_value_extremes",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_c,
+           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_extremes(sf_dir: str):
+    """Hot-key rollup via the skew-mitigated two-stage salted groupby
+    (stages/skew.py): event_type has a handful of distinct values, so a
+    plain hash groupby lands the whole corpus on a handful of reduce
+    tasks — the textbook skew straggler. Salting bounds every stage-1
+    partial at ~1/n_salts of a key and the merge shuffle at n_salts rows
+    per key. Values floored to cents so the oracle compare is exact."""
+    from doppel_ray.stages.skew import salted_aggregate
+
+    ds = read_events(sf_dir, columns=["event_type", "value"]).map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "v_c": pa.array(
+                    np.floor(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = salted_aggregate(
+        ds,
+        "event_type",
+        {
+            "n": ("count", ""),
+            "total_c": ("sum", "v_c"),
+            "min_c": ("min", "v_c"),
+            "max_c": ("max", "v_c"),
+        },
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("total_c", pa.int64()),
+                ("min_c", pa.int64()),
+                ("max_c", pa.int64()),
+            ]
+        ),
+    )
