@@ -2025,3 +2025,69 @@ def lang_share(sf_dir: str):
             "share_bp": pa.array(bp, type=pa.int64()),
         }
     )
+
+
+@query(
+    "lang_token_quantiles",
+    rf"""
+    SELECT lang,
+           CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90
+    FROM (SELECT lang,
+                 length(regexp_extract_all(text, '{A.WS_TOKEN_RE}')) AS n_tokens
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def lang_token_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median + p90 token count per lang) via
+    stages/quantiles.grouped_quantiles: per-batch (group, value) count
+    partials, ONE narrow groupby over distinct pairs, vectorized
+    cumulative walk per bucket — the grouped twin of token_quantiles
+    with no driver histogram at any group cardinality."""
+    from doppel_ray.stages.quantiles import grouped_quantiles
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tokens": pa.array(
+                    A.token_counts(batch["text"], A.WS_TOKEN_RE)
+                ),
+            }
+        )
+
+    counts = ds.map_batches(fn, batch_format="pyarrow")
+    out = grouped_quantiles(counts, "lang", "n_tokens", [0.5, 0.9], ["p50", "p90"])
+    return finalize(
+        out,
+        pa.schema(
+            [("lang", pa.string()), ("p50", pa.int64()), ("p90", pa.int64())]
+        ),
+    )
+
+
+@query(
+    "longest_docs",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+)
+def longest_docs(sf_dir: str):
+    """Global ORDER BY ... LIMIT without a full sort
+    (stages/rank.global_topk): per-block top-k prune -> bounded
+    survivor union -> final prune. Shuffle volume is k x blocks rows,
+    corpus-size independent; doc_id breaks n_chars ties so the row set
+    is total-order deterministic."""
+    from doppel_ray.stages.rank import global_topk
+
+    ds = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = global_topk(
+        ds, ["n_chars", "doc_id"], ascending=[False, True], k=20
+    )
+    return finalize(
+        out, pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    )

@@ -460,3 +460,57 @@ def event_value_extremes(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "funnel_counts",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) t, any_value(s0.t0) t0
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t0
+             AND e.ts <= s0.t0 + INTERVAL 1 DAY GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t
+             AND e.ts <= s1.t0 + INTERVAL 1 DAY GROUP BY 1)
+    SELECT 1 AS stage, (SELECT count(*) FROM s0) AS n_users
+    UNION ALL SELECT 2, (SELECT count(*) FROM s1)
+    UNION ALL SELECT 3, (SELECT count(*) FROM s2)
+    """,
+)
+def funnel_counts(sf_dir: str):
+    """Windowed conversion funnel (view -> click -> purchase within 1
+    day of the first view): per-stage at-least user counts via
+    stages/funnel.py — one bucketed shuffle on user_id, pandas stage
+    cascade per bucket, then a k-row rollup. Timestamps compared as
+    int64 epoch micros so both engines count identically."""
+    from doppel_ray.stages.funnel import windowed_funnel
+
+    ds = read_events(sf_dir, columns=["user_id", "event_type", "ts"])
+    per_user = windowed_funnel(
+        ds,
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        sequence=["view", "click", "purchase"],
+        window_us=86_400_000_000,
+    )
+    reached = (
+        per_user.groupby("stages_completed")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    by_stage = {int(r["stages_completed"]): int(r["n"]) for r in reached}
+    n_stages = 3
+    rows = [
+        {
+            "stage": s,
+            "n_users": sum(v for k, v in by_stage.items() if k >= s),
+        }
+        for s in range(1, n_stages + 1)
+    ]
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("stage", pa.int64()), ("n_users", pa.int64())])
+    )

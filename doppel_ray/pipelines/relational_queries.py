@@ -884,3 +884,267 @@ def acctbal_band_coverage(sf_dir: str):
             [("band", pa.int64()), ("n_cust", pa.int64()), ("n_supp", pa.int64())]
         ),
     )
+
+
+@query(
+    "returnflag_corr_moments",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(p) AS BIGINT) AS sum_p,
+           CAST(sum(q * q) AS BIGINT) AS sum_qq,
+           CAST(sum(p * p) AS BIGINT) AS sum_pp,
+           CAST(sum(q * p) AS BIGINT) AS sum_qp
+    FROM (SELECT l_returnflag,
+                 CAST(floor(l_quantity) AS BIGINT) AS q,
+                 CAST(floor(l_extendedprice) AS BIGINT) AS p
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_corr_moments(sf_dir: str):
+    """Decomposable second-moment aggregates (the covariance/correlation
+    base: n, sum x, sum y, sum x^2, sum y^2, sum xy) per return flag —
+    Pearson's r and variances derive from these six numbers, so shipping
+    them as exact int64 partials is the scale-correct way to compute
+    correlation: one column-pruned pass, narrow combiner-first groupby,
+    no float accumulation order anywhere. Price floored to whole units
+    so the squared sums stay inside int64 (~6e15 at sf0.1; the guard
+    raises long before wrap)."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = _cents(batch["l_quantity"], 1)
+        p = _cents(batch["l_extendedprice"], 1)
+        pp = p * p
+        if len(pp) and pp.max() > _SUM_GUARD // max(len(pp), 1):
+            raise ValueError(
+                "returnflag_corr_moments: p^2 partials near int64 range; "
+                "rescale units before summing"
+            )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "q": pa.array(q, type=pa.int64()),
+                "p": pa.array(p, type=pa.int64()),
+                "qq": pa.array(q * q, type=pa.int64()),
+                "pp": pa.array(pp, type=pa.int64()),
+                "qp": pa.array(q * p, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("q", alias_name="sum_q"),
+            Sum("p", alias_name="sum_p"),
+            Sum("qq", alias_name="sum_qq"),
+            Sum("pp", alias_name="sum_pp"),
+            Sum("qp", alias_name="sum_qp"),
+        )
+    )
+    return finalize(
+        agg,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("n", pa.int64()),
+                ("sum_q", pa.int64()),
+                ("sum_p", pa.int64()),
+                ("sum_qq", pa.int64()),
+                ("sum_pp", pa.int64()),
+                ("sum_qp", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "order_count_distribution",
+    """
+    SELECT c_count, count(*) AS n_cust
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution(sf_dir: str):
+    """TPC-H Q13-flavor distribution of orders-per-customer WITHOUT the
+    left join: orders reduce to a narrow (custkey, count) groupby
+    (bounded by customers), the distribution is a second tiny groupby
+    over that aggregate, and zero-order customers come from plain
+    cardinality arithmetic (total customers minus customers with
+    orders) instead of shuffling the customer payload at all."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="c_count"))
+    dist = (
+        per_cust.groupby("c_count").aggregate(Count(alias_name="n_cust")).take_all()
+    )
+    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_with_orders = sum(r["n_cust"] for r in dist)
+    rows = [
+        {"c_count": int(r["c_count"]), "n_cust": int(r["n_cust"])} for r in dist
+    ]
+    if n_customers - n_with_orders > 0:
+        rows.append({"c_count": 0, "n_cust": n_customers - n_with_orders})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("c_count", pa.int64()), ("n_cust", pa.int64())])
+    )
+
+
+_Q18_MIN_QTY = 250
+
+
+@query(
+    "large_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           t.sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum_qty > {_Q18_MIN_QTY}) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def large_orders(sf_dir: str):
+    """TPC-H Q18-flavor large-volume orders: lineitem reduces to a
+    narrow (orderkey, qty-sum) groupby FIRST, the HAVING filter shrinks
+    it to the heavy tail, and only then does a hash join attach the
+    order payload — the aggregate-before-join shape that keeps the
+    exchange at key-width regardless of line-item fanout."""
+    from doppel_ray.stages.joins import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "qty": pa.array(_cents(batch["l_quantity"], 1), type=pa.int64()),
+            }
+        )
+
+    sums = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {_Q18_MIN_QTY}")
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "orderdate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "totalprice_c": pa.array(
+                    _cents(batch["o_totalprice"]), type=pa.int64()
+                ),
+            }
+        )
+
+    joined = hash_join(
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        sums,
+        on="o_orderkey",
+        left_cols=["o_custkey", "orderdate_us", "totalprice_c"],
+        right_cols=["sum_qty"],
+    )
+    return finalize(
+        joined,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("orderdate_us", pa.int64()),
+                ("totalprice_c", pa.int64()),
+                ("sum_qty", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
+    "pricing_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP: the hierarchy of subtotals (flag x status, per
+    flag, grand total) derived from ONE narrow two-key groupby — the
+    finest aggregate is bounded (flags x statuses rows), so coarser
+    levels are driver arithmetic over it, never a second corpus pass.
+    NULL group markers match SQL ROLLUP's."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(_cents(batch["l_quantity"], 1), type=pa.int64()),
+            }
+        )
+
+    base = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
+        .take_all()
+    )
+    rows = [
+        {
+            "l_returnflag": r["l_returnflag"],
+            "l_linestatus": r["l_linestatus"],
+            "n": int(r["n"]),
+            "sum_qty": int(r["sum_qty"]),
+        }
+        for r in base
+    ]
+    per_flag: dict[str, dict] = {}
+    total = {"n": 0, "sum_qty": 0}
+    for r in rows:
+        f = per_flag.setdefault(
+            r["l_returnflag"], {"n": 0, "sum_qty": 0}
+        )
+        f["n"] += r["n"]
+        f["sum_qty"] += r["sum_qty"]
+        total["n"] += r["n"]
+        total["sum_qty"] += r["sum_qty"]
+    out = list(rows)
+    out += [
+        {"l_returnflag": k, "l_linestatus": None, **v}
+        for k, v in per_flag.items()
+    ]
+    out.append({"l_returnflag": None, "l_linestatus": None, **total})
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("n", pa.int64()),
+                ("sum_qty", pa.int64()),
+            ]
+        ),
+    )

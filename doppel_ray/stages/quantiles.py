@@ -265,3 +265,97 @@ def _resolve_rank(
         # so min<max guarantees the child splits into >=2 buckets
         levels = levels + ((lo, width, resolution, b),)
         lo, hi = float(mins[b]), float(maxs[b])
+
+
+# --------------------------------------------------- per-group quantiles
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    out_cols: list[str],
+    *,
+    num_buckets: int = 32,
+) -> Dataset:
+    """Exact per-group quantiles: one row per group with a column per
+    requested p (``out_cols`` names them), DuckDB ``quantile_disc`` rule.
+
+    Shape: per-batch ``(group, value) -> count`` combiner partials, ONE
+    narrow groupby sum over distinct (group, value) pairs, then the
+    bounded histogram relation is bucketed by group and each group's
+    cumulative walk runs vectorized inside the bucket (sort + cumsum +
+    first-row-past-rank selection — no per-group Python dispatch).
+    Nothing ever lands on the driver; shuffle volume is distinct
+    (group, value) pairs, not rows.
+
+    Partitioning assumption (same as rank/sessionize): one group's
+    VALUE HISTOGRAM fits a bucket's memory — fine for discrete columns
+    (token counts, sizes) at any corpus scale; a near-unique float
+    column inside a single mega-group would need the per-group
+    cumulative walk (see ``exact_quantiles``'s continuous path).
+    """
+    from ray.data.aggregate import Sum
+
+    if len(ps) != len(out_cols):
+        raise ValueError("out_cols must match ps length")
+    if not ps:
+        raise ValueError("ps must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_pandas(),
+            }
+        )
+        cnt = df.groupby(["g", "v"], sort=False, dropna=True).size()
+        frame = cnt.reset_index()
+        return pa.table(
+            {
+                group_col: pa.array(frame["g"]),
+                value_col: pa.array(frame["v"]),
+                "_cnt": pa.array(frame[0].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("_cnt", alias_name="_cnt"))
+    )
+
+    value_type = dict(zip(ds.schema().names, ds.schema().types))[value_col]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        schema = pa.schema(
+            [(group_col, g.schema.field(group_col).type)]
+            + [(c, value_type) for c in out_cols]
+        )
+        if g.num_rows == 0:
+            return schema.empty_table()
+        df = g.to_pandas().sort_values([group_col, value_col])
+        cum = df.groupby(group_col, sort=False)["_cnt"].cumsum().to_numpy()
+        n = df.groupby(group_col, sort=False)["_cnt"].transform("sum").to_numpy()
+        cols = {}
+        for p, name in zip(ps, out_cols):
+            # quantile_disc index: element at sorted position
+            # max(ceil(p*n)-1, 0); p*n in IEEE doubles on both engines
+            idx = np.maximum(np.ceil(p * n.astype(np.float64)) - 1, 0)
+            sel = df[cum > idx]
+            cols[name] = sel.groupby(group_col, sort=False)[value_col].first()
+        frame = pd.DataFrame(cols).reset_index()
+        arrays = [pa.array(frame[group_col])] + [
+            pa.array(frame[c], type=value_type) for c in out_cols
+        ]
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    return bucketed_group_apply(hist, group_col, per_bucket, num_buckets=num_buckets)

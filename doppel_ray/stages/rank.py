@@ -117,3 +117,55 @@ def rolling_sum_rows(values: np.ndarray, window: int) -> np.ndarray:
     out = c.copy()
     out[window:] -= c[:-window]
     return out
+
+
+def global_topk(
+    ds: Dataset,
+    order_cols: list[str],
+    *,
+    ascending: list[bool] | None = None,
+    k: int = 10,
+) -> Dataset:
+    """Global ORDER BY ... LIMIT k WITHOUT a full sort: each block is
+    pruned to its own top-k (a vectorized lexsort head — at most k rows
+    per block survive), the bounded survivor set collapses to one block,
+    and a final prune emits exactly the global top-k row SET (callers
+    needing display order sort the k-row result).
+
+    Shuffle volume is k x blocks rows instead of the corpus; at 100 TB
+    the survivor union is a few MB for any reasonable k. ``order_cols``
+    must totally order rows (append a unique id) or the tail of the
+    result is engine-dependent under ties.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    asc = ascending if ascending is not None else [True] * len(order_cols)
+    if len(asc) != len(order_cols):
+        raise ValueError("ascending must match order_cols length")
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        keys = []
+        # np.lexsort sorts by the LAST key first; feed reversed, negate
+        # descending numeric keys, argsort-rank non-numeric descending
+        for col, a in zip(reversed(order_cols), reversed(asc)):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            if not a:
+                if v.dtype.kind in "iuf":
+                    v = -v
+                else:
+                    # rank-encode: descending order == ascending ranks
+                    order = np.argsort(v, kind="stable")[::-1]
+                    r = np.empty(len(v), dtype=np.int64)
+                    r[order] = np.arange(len(v))
+                    v = r
+            keys.append(v)
+        idx = np.lexsort(keys)[:k]
+        return batch.take(pa.array(idx))
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow")
+    )
