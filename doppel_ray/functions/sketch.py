@@ -137,3 +137,69 @@ class BloomFilter:
 
     def contains_values(self, values) -> np.ndarray:
         return self.contains_hashes(sip64(pd.Series(values)))
+
+
+class BottomKSample:
+    """Deterministic bottom-k row sample — the mergeable quantile/
+    distribution sketch (KMV-style: Bar-Yossef et al. 2002 on distinct
+    elements, applied here to ROW sampling by hashing a unique row key).
+
+    Keeping the ``k`` rows with the smallest ``sip64(row_key)`` yields a
+    uniform random sample of the rows that is (a) a pure function of
+    the row SET — identical at any block layout, cluster size, or merge
+    order, (b) mergeable by concat + re-prune (associative/commutative),
+    and (c) 16 B/row of state. Any quantile estimated from the sample
+    carries rank error O(sqrt(p(1-p)/k)) with high probability —
+    ~0.008 std at the median for k = 4096 — vs the exact path's full
+    value histogram exchange (stages/quantiles.py).
+    """
+
+    def __init__(self, k: int = 4096):
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        self.k = k
+        self.hashes = np.empty(0, dtype=np.uint64)
+        self.values = np.empty(0, dtype=np.float64)
+
+    def add(self, h: np.ndarray, v: np.ndarray) -> "BottomKSample":
+        """Fold (hash, value) rows; keeps the k smallest hashes."""
+        if len(h):
+            self.hashes = np.concatenate([self.hashes, h.astype(np.uint64)])
+            self.values = np.concatenate(
+                [self.values, v.astype(np.float64)]
+            )
+            self._prune()
+        return self
+
+    def merge(self, other: "BottomKSample") -> "BottomKSample":
+        return self.add(other.hashes, other.values)
+
+    def _prune(self) -> None:
+        if len(self.hashes) > self.k:
+            idx = np.argpartition(self.hashes, self.k)[: self.k]
+            self.hashes = self.hashes[idx]
+            self.values = self.values[idx]
+
+    def to_bytes(self) -> bytes:
+        return self.hashes.tobytes() + self.values.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, k: int = 4096) -> "BottomKSample":
+        n = len(buf) // 16
+        out = cls(k)
+        out.hashes = np.frombuffer(buf[: 8 * n], dtype=np.uint64).copy()
+        out.values = np.frombuffer(buf[8 * n :], dtype=np.float64).copy()
+        out._prune()
+        return out
+
+    def quantile(self, p: float) -> float:
+        """quantile_disc rule over the sample (same index arithmetic as
+        stages/quantiles.py, so sketch -> exact comparisons are
+        apples-to-apples)."""
+        import math
+
+        if len(self.values) == 0:
+            raise ValueError("empty sketch")
+        v = np.sort(self.values)
+        idx = max(math.ceil(p * len(v)) - 1, 0)
+        return float(v[idx])

@@ -2091,3 +2091,85 @@ def longest_docs(sf_dir: str):
     return finalize(
         out, pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
     )
+
+
+#: approx_token_quantiles accuracy contract: the sketch's achieved rank
+#: may deviate from the target p by at most this much (k=4096 gives
+#: ~0.008 rank std at the median; 0.05 is >5 sigma)
+_SKETCH_RANK_TOL = 0.05
+
+
+@query("approx_token_quantiles")  # rows-only: approximate by design
+def approx_token_quantiles(sf_dir: str):
+    """Approximate token-count quantiles via the mergeable bottom-k row
+    sample (functions/sketch.BottomKSample, k=4096): per-block <= k-row
+    partials, driver concat+re-prune merge, ZERO shuffles — the sketch
+    twin of token_quantiles for columns/scales where even the narrow
+    histogram exchange is unwanted. Driver-visible accuracy contract
+    (the ivf_topk pattern): a second zero-shuffle pass counts values <=
+    each estimate, the achieved rank ships in the result as
+    rank_error_bp, and the query RAISES if any error exceeds 5% rank.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from doppel_ray.stages.hashes import approx_quantiles
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(
+                    A.token_counts(batch["text"], A.WS_TOKEN_RE)
+                ),
+            }
+        )
+
+    counts = ds.map_batches(fn, batch_format="pyarrow").materialize()
+    ps = [0.5, 0.9, 0.99]
+    est = approx_quantiles(counts, "n_tokens", "doc_id", ps)
+    cuts = [v for _, v in est]
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        v = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        cols = {"n": pa.array([len(v)], type=pa.int64())}
+        for i, c in enumerate(cuts):
+            cols[f"le{i}"] = pa.array(
+                [int((v <= c).sum())], type=pa.int64()
+            )
+        return pa.table(cols)
+
+    tot = {"n": 0, **{f"le{i}": 0 for i in range(len(cuts))}}
+    for b in counts.map_batches(
+        rank_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for k in tot:
+            tot[k] += sum(b[k].to_pylist())
+
+    rows = []
+    for i, (p, v) in enumerate(est):
+        achieved = tot[f"le{i}"] / tot["n"] if tot["n"] else 0.0
+        err = abs(achieved - p)
+        if err > _SKETCH_RANK_TOL:
+            raise AssertionError(
+                f"approx_token_quantiles: rank error {err:.4f} at p={p} "
+                f"exceeds the {_SKETCH_RANK_TOL} contract"
+            )
+        rows.append(
+            {
+                "p_bp": int(round(p * 10_000)),
+                "estimate": int(v),
+                "rank_error_bp": int(round(err * 10_000)),
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("p_bp", pa.int64()),
+                ("estimate", pa.int64()),
+                ("rank_error_bp", pa.int64()),
+            ]
+        ),
+    )

@@ -94,3 +94,37 @@ def approx_distinct(ds, col: str, *, p: int = 14) -> float:
         for buf in b["reg"].to_pylist():
             merged = SK.merge(merged, np.frombuffer(buf, dtype=np.uint8))
     return SK.estimate(merged)
+
+
+def approx_quantiles(
+    ds, value_col: str, id_col: str, ps: list[float], *, k: int = 4096
+) -> list[tuple[float, float]]:
+    """Approximate quantiles via the distributed bottom-k row sample
+    (functions/sketch.BottomKSample): each block folds its rows into a
+    <= k-row partial inside ``map_batches``, the driver merges partials
+    by concat + re-prune — no shuffle, rank error ~ sqrt(p(1-p)/k).
+    ``id_col`` must uniquely key rows (the sample hashes IDs, not
+    values, so duplicated values keep their true multiplicity)."""
+    import pandas as pd
+
+    from doppel_ray.functions import sketch as SK
+    from doppel_ray.functions.hashing import sip64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = SK.BottomKSample(k)
+        h = sip64(batch[id_col].to_pandas().astype(str))
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        s.add(h, v)
+        return pa.table(
+            {"s": pa.array([s.to_bytes()], type=pa.large_binary())}
+        )
+
+    merged = SK.BottomKSample(k)
+    for b in (
+        ds.select_columns([value_col, id_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for buf in b["s"].to_pylist():
+            merged = merged.merge(SK.BottomKSample.from_bytes(buf, k))
+    return [(p, merged.quantile(p)) for p in ps]

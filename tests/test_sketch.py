@@ -170,3 +170,87 @@ class TestBloomPrunePath:
         )
         rows = M.exact_dup_media(rd.from_arrow(t).repartition(4)).take_all()
         assert sorted(r["media_id"] for r in rows) == [3, 7]
+
+
+class TestBottomKSample:
+    """Mergeable bottom-k row sample (quantile sketch)."""
+
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(17)
+        n = 200_000
+        vals = rng.gamma(2.0, 50.0, n)
+        ids = np.arange(n)
+        import pandas as pd
+
+        from doppel_ray.functions.hashing import sip64
+
+        h = sip64(pd.Series(ids).astype(str))
+        s = SK.BottomKSample(4096).add(h, vals)
+        sv = np.sort(vals)
+        import math
+
+        for p in (0.1, 0.5, 0.9, 0.99):
+            est = s.quantile(p)
+            achieved = (vals <= est).sum() / n
+            assert abs(achieved - p) < 0.03, (p, achieved)
+
+    def test_merge_equals_whole_and_layout_invariance(self):
+        rng = np.random.default_rng(23)
+        n = 50_000
+        vals = rng.normal(0, 1, n)
+        import pandas as pd
+
+        from doppel_ray.functions.hashing import sip64
+
+        h = sip64(pd.Series(np.arange(n)).astype(str))
+        whole = SK.BottomKSample(512).add(h, vals)
+        # merge of arbitrary disjoint splits == whole, any order
+        for seed in (1, 2):
+            perm = np.random.default_rng(seed).permutation(n)
+            parts = np.array_split(perm, 7)
+            m = SK.BottomKSample(512)
+            for idx in parts:
+                m = m.merge(SK.BottomKSample(512).add(h[idx], vals[idx]))
+            assert np.array_equal(
+                np.sort(m.hashes), np.sort(whole.hashes)
+            )
+            assert np.array_equal(np.sort(m.values), np.sort(whole.values))
+
+    def test_serialization_roundtrip_and_validation(self):
+        rng = np.random.default_rng(9)
+        import pandas as pd
+
+        from doppel_ray.functions.hashing import sip64
+
+        h = sip64(pd.Series(range(100)).astype(str))
+        s = SK.BottomKSample(64).add(h, rng.normal(0, 1, 100))
+        r = SK.BottomKSample.from_bytes(s.to_bytes(), 64)
+        assert np.array_equal(np.sort(r.hashes), np.sort(s.hashes))
+        with pytest.raises(ValueError):
+            SK.BottomKSample(4)
+        with pytest.raises(ValueError):
+            SK.BottomKSample(64).quantile(0.5)
+
+    def test_distributed_approx_quantiles(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from doppel_ray.stages.hashes import approx_quantiles
+
+        rng = np.random.default_rng(31)
+        n = 30_000
+        df = pd.DataFrame(
+            {"id": np.arange(n), "v": rng.integers(0, 1000, n).astype(np.int64)}
+        )
+        est = approx_quantiles(
+            rd.from_pandas(df).repartition(9), "v", "id", [0.5, 0.9]
+        )
+        sv = np.sort(df.v.to_numpy())
+        for p, e in est:
+            achieved = (df.v <= e).sum() / n
+            assert abs(achieved - p) < 0.04, (p, achieved)
+        # layout invariance: different block count, identical estimates
+        est2 = approx_quantiles(
+            rd.from_pandas(df).repartition(3), "v", "id", [0.5, 0.9]
+        )
+        assert est == est2
