@@ -2173,3 +2173,75 @@ def approx_token_quantiles(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "dup_token_window_groups",
+    # duplicated 8-token windows over pages derived identically on both
+    # sides from doc_id: an 8-token intro shared corpus-wide, an 8-token
+    # tail shared within each doc_id % 5 family, plus whatever organic
+    # repeats the corpus carries. DuckDB list slicing is 1-based
+    # inclusive: tk[i:i+7] is the 8-token window at i.
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             'C1 C2 C3 C4 C5 C6 C7 C8 ' || text || ' T' ||
+             CAST(doc_id % 5 AS VARCHAR) || ' Z1 Z2 Z3 Z4 Z5 Z6 Z7' AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id,
+                    regexp_extract_all(t, '[^\t\n\f\r ]+') AS tk
+             FROM aug),
+    win AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS w
+      FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+    ),
+    g AS (
+      SELECT w, count(*)::BIGINT AS cnt,
+             min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+                 lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
+      FROM win GROUP BY w HAVING count(*) > 1
+    )
+    SELECT w AS win_text, cnt,
+           CAST(split_part(fk, ':', 1) AS BIGINT) AS first_doc,
+           CAST(split_part(fk, ':', 2) AS BIGINT) AS first_pos
+    FROM g
+    """,
+)
+def dup_token_window_groups(sf_dir: str):
+    """Substring-level dedup detection (Lee et al. 2022 granularity):
+    every 8-token window repeated anywhere in the corpus, via
+    stages/tokenwindows.py — rolling-hash prefilter groupby, broadcast
+    hash-hit semi-join, string-verify groupby. Only duplicated windows
+    ever ship as strings."""
+    from doppel_ray.stages.tokenwindows import dup_token_windows
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        t = (
+            "C1 C2 C3 C4 C5 C6 C7 C8 "
+            + batch["text"].to_pandas()
+            + " T"
+            + (ids % 5).astype(str)
+            + " Z1 Z2 Z3 Z4 Z5 Z6 Z7"
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t, type=pa.string())}
+        )
+
+    out = dup_token_windows(
+        ds.map_batches(augment, batch_format="pyarrow"), window=8
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("win_text", pa.string()),
+                ("cnt", pa.int64()),
+                ("first_doc", pa.int64()),
+                ("first_pos", pa.int64()),
+            ]
+        ),
+    )
