@@ -2245,3 +2245,32 @@ def dup_token_window_groups(sf_dir: str):
             ]
         ),
     )
+
+
+def _profile_leg_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col, count(*) AS n,
+           count(*) - count({col}) AS n_null,
+           count(DISTINCT {col}) AS n_distinct,
+           coalesce(CAST(min({col}) AS VARCHAR), '') AS min_s,
+           coalesce(CAST(max({col}) AS VARCHAR), '') AS max_s
+    FROM documents"""
+
+
+@query(
+    "table_profile",
+    " UNION ALL ".join(
+        _profile_leg_sql(c) for c in ("doc_id", "lang", "source", "n_chars")
+    ),
+)
+def table_profile(sf_dir: str):
+    """Per-column data-quality profile of the documents table (count /
+    nulls / exact distinct / min / max as canonical strings) — the
+    schema audit run before trusting a corpus drop. Scale shape in
+    stages/profile.py: constant-size fold per column plus one key-only
+    distinct shuffle per column."""
+    from doppel_ray.stages.profile import profile_table
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = read_documents(sf_dir, columns=cols)
+    return profile_table(ds, cols)

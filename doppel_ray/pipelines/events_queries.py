@@ -514,3 +514,40 @@ def funnel_counts(sf_dir: str):
     return pa.Table.from_pylist(
         rows, schema=pa.schema([("stage", pa.int64()), ("n_users", pa.int64())])
     )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    f AS (
+        SELECT day, min(day) OVER (PARTITION BY user_id) AS first_day
+        FROM ud
+    )
+    SELECT first_day AS cohort_day,
+           day - first_day AS offset_days,
+           count(*) AS n_users
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(sf_dir: str):
+    """Cohort retention triangle: users bucketed by first active day,
+    counted per later-active-day offset. Scale shape in
+    stages/windows.py:cohort_retention — the shuffle carries distinct
+    (user, day) pairs, never the event firehose."""
+    ds = read_events(sf_dir, columns=["user_id", "ts"])
+    out = windows.cohort_retention(ds, user_col="user_id", ts_col="ts")
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("cohort_day", pa.int64()),
+                ("offset_days", pa.int64()),
+                ("n_users", pa.int64()),
+            ]
+        ),
+    )

@@ -153,3 +153,71 @@ def sessionize(
         ).cast(SESSION_SCHEMA)
 
     return bucketed_group_apply(ds, user_col, per_bucket, num_buckets=num_buckets)
+
+
+#: micros per day, the cohort bucketing unit
+_DAY_US = 86_400_000_000
+
+
+def cohort_retention(
+    ds: Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (the cohort), counted on each later active day as a day offset —
+    the standard product-analytics retention triangle, as a relation
+    ``(cohort_day, offset_days, n_users)``.
+
+    Scale shape: one ``map_batches`` reduces each batch to its DISTINCT
+    (user, epoch-day) pairs (activity, not events — the shuffle carries
+    user-days, bounded by users x active days, not the event firehose);
+    ONE bucketed shuffle on the user key co-locates each user's days; a
+    vectorized per-bucket pass derives first-day + offsets and emits
+    (cohort, offset) count partials; a final narrow groupby sums them
+    (bounded by days x days).
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.int64())
+        day = pc.divide(pc.cast(ts, pa.int64()), _DAY_US)
+        t = pa.table({user_col: batch[user_col], "day": day})
+        return t.group_by([user_col, "day"]).aggregate([])
+
+    ud = ds.select_columns([user_col, ts_col]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("cohort_day", pa.int64()),
+                ("offset_days", pa.int64()),
+                ("_n", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return schema.empty_table()
+        df = g.to_pandas().drop_duplicates([user_col, "day"])
+        first = df.groupby(user_col)["day"].transform("min")
+        out = (
+            pd.DataFrame(
+                {"cohort_day": first, "offset_days": df["day"] - first}
+            )
+            .groupby(["cohort_day", "offset_days"], sort=False)
+            .size()
+            .reset_index(name="_n")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    partials = bucketed_group_apply(ud, user_col, per_bucket, num_buckets=num_buckets)
+    return (
+        partials.groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("_n", alias_name="n_users"))
+    )

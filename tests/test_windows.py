@@ -144,3 +144,40 @@ class TestHoppingWindows:
             if c:
                 want[w] = c
         assert got == want
+
+
+class TestCohortRetention:
+    def test_vs_reference_loop(self, ray_session):
+        import collections
+
+        rng = np.random.default_rng(7)
+        base = dt.datetime(2026, 1, 1)
+        rows = []
+        eid = 0
+        for uid in range(40):
+            for _ in range(int(rng.integers(1, 12))):
+                rows.append((uid, eid, int(rng.integers(0, 60 * 24 * 20))))
+                eid += 1
+        t = _events(rows)
+
+        out = windows.cohort_retention(rd.from_arrow(t)).take_all()
+        got = {(r["cohort_day"], r["offset_days"]): r["n_users"] for r in out}
+
+        # reference: per-user day sets, first day = cohort
+        day_us = 86_400_000_000
+        user_days = collections.defaultdict(set)
+        ts = t["ts"].cast("int64").to_pylist()
+        for uid, d in zip(t["user_id"].to_pylist(), ts):
+            user_days[uid].add(d // day_us)
+        want = collections.Counter()
+        for days in user_days.values():
+            first = min(days)
+            for d in days:
+                want[(first, d - first)] += 1
+        assert got == dict(want)
+
+    def test_offset_zero_counts_every_user(self, ray_session):
+        t = _events([(1, 1, 0), (1, 2, 30), (2, 3, 60 * 24), (3, 4, 60 * 48)])
+        out = windows.cohort_retention(rd.from_arrow(t)).take_all()
+        zero = sum(r["n_users"] for r in out if r["offset_days"] == 0)
+        assert zero == 3
