@@ -834,3 +834,39 @@ def embedding_clusters(sf_dir: str):
             ),
         }
     )
+
+
+@query(
+    "embedding_decontam",
+    # Float-safety: cosine margins to tau=0.4 are 1.3e-4 (sf0.01) and
+    # 9.9e-6 (sf0.1) — ~50-600x DuckDB's float32 accumulation noise
+    # (~2e-7 at 64 dims), so the match COUNTS are oracle-stable; the
+    # similarity itself stays out of the compared columns.
+    """
+    SELECT x.vec_id AS vec_id, count(*) AS n_matches
+    FROM embeddings x JOIN embeddings e ON e.vec_id < 32
+    WHERE x.vec_id >= 32
+      AND list_cosine_similarity(x.embedding, e.embedding) >= 0.4
+    GROUP BY 1
+    """,
+)
+def embedding_decontam(sf_dir: str):
+    """Semantic decontamination: corpus embeddings flagged when cosine
+    to ANY eval-set embedding (vec_id < 32, broadcast once) >= 0.4 —
+    the paraphrase-robust complement to n-gram decontamination
+    (stages/decontam.py:embedding_decontam_counts; zero shuffles)."""
+    import numpy as np
+
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages.decontam import embedding_decontam_counts
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    ev_rows = ds.filter(expr="vec_id < 32").take_all()
+    ev_rows.sort(key=lambda r: r["vec_id"])
+    ev = np.array([r["embedding"] for r in ev_rows], dtype=np.float64)
+    corpus = ds.filter(expr="vec_id >= 32")
+    out = embedding_decontam_counts(corpus, ev, threshold=0.4)
+    return finalize(
+        out,
+        pa.schema([("vec_id", pa.int64()), ("n_matches", pa.int64())]),
+    )

@@ -253,3 +253,44 @@ def decontaminate(
         return batch.filter(pa.array(~matcher.doc_mask(batch)))
 
     return train.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_decontam_counts(
+    ds: Dataset,
+    eval_matrix: "np.ndarray",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> Dataset:
+    """Semantic (embedding-space) decontamination: for every corpus row,
+    count eval-set embeddings with cosine similarity >= ``threshold``
+    and keep only flagged rows — the embedding analogue of the n-gram
+    rule above, used when eval leakage is paraphrased rather than
+    verbatim (so token overlap misses it).
+
+    Same broadcast shape as the n-gram path: the eval matrix is tiny by
+    construction, normalized once and ``ray.put`` ONCE; the corpus
+    streams through one ``map_batches`` doing a single float64 matmul
+    per batch — zero shuffles, corpus-width independent. Scale bound:
+    eval matrix bytes (10k docs x 1k dims x 8 B = 80 MB, fine).
+    """
+    from doppel_ray.stages.ann import _normalize, batch_matrix
+
+    ref = ray.put(_normalize(np.asarray(eval_matrix, dtype=np.float64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from doppel_ray.stages.util import cached_get
+
+        ev: np.ndarray = cached_get(ref)
+        m = _normalize(batch_matrix(batch[vec_col]))
+        n_match = (m @ ev.T >= threshold).sum(axis=1).astype(np.int64)
+        keep = n_match > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                "n_matches": pa.array(n_match[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

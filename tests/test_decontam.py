@@ -195,3 +195,53 @@ def test_nbsp_tokenization_matches_re2_oracle():
         r"SELECT regexp_extract_all(?, '\S+')", [text]
     ).fetchone()[0]
     assert flat.to_pylist() == want == ["x\xa0y", "z"]
+
+
+class TestEmbeddingDecontam:
+    def test_counts_and_filtering(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from doppel_ray.stages.decontam import embedding_decontam_counts
+
+        # eval basis: e0, e1; corpus: one aligned to e0, one to both
+        # (45 deg between e0 and e1 plane combos), one orthogonal
+        ev = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+        corpus = pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], type=pa.int64()),
+                "embedding": pa.array(
+                    [
+                        [0.9, 0.0, 0.1],        # ~e0 only
+                        [0.7, 0.7, 0.0],        # cos ~0.707 to both
+                        [0.0, 0.0, 1.0],        # orthogonal: not flagged
+                    ],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = embedding_decontam_counts(
+            rd.from_arrow(corpus), ev, threshold=0.5
+        ).take_all()
+        got = {r["vec_id"]: r["n_matches"] for r in out}
+        assert got == {10: 1, 11: 2}
+
+    def test_threshold_one_requires_alignment(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from doppel_ray.stages.decontam import embedding_decontam_counts
+
+        ev = np.array([[0.0, 2.0]])  # normalization inside the stage
+        corpus = pa.table(
+            {
+                "vec_id": pa.array([1, 2], type=pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 5.0], [1.0, 1.0]], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = embedding_decontam_counts(
+            rd.from_arrow(corpus), ev, threshold=0.9999
+        ).take_all()
+        assert [r["vec_id"] for r in out] == [1]
