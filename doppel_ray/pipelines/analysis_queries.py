@@ -2274,3 +2274,17 @@ def table_profile(sf_dir: str):
     cols = ["doc_id", "lang", "source", "n_chars"]
     ds = read_documents(sf_dir, columns=cols)
     return profile_table(ds, cols)
+
+
+@query("bpe_merges")  # rows-only: iterative argmax has no SQL analog;
+# the merge sequence is pinned vs the canonical Sennrich reference loop
+# and driver==distributed equivalence in tests/test_bpe.py
+def bpe_merges(sf_dir: str):
+    """Tokenizer training: first 24 BPE merges learned on the documents
+    corpus (stages/bpe.py — ONE corpus-wide word-freq shuffle, then
+    merge rounds on the bounded word-TYPE table; ties broken
+    deterministically, so output is layout-invariant)."""
+    from doppel_ray.stages import bpe
+
+    ds = read_documents(sf_dir, columns=["text"])
+    return bpe.learn_bpe(ds, 24)

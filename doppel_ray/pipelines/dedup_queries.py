@@ -285,3 +285,99 @@ def normalized_dedup(sf_dir: str):
     return exact.dedup_keep_first(
         ds.map_batches(norm, batch_format="pyarrow"), id_col="doc_id"
     )
+
+
+@query(
+    "snapshot_diff",
+    # Both snapshots derived DETERMINISTICALLY from documents on both
+    # sides: old = docs with id % 10 != 0, texts of id % 7 == 0 carry a
+    # ' v1' suffix; new = docs with id % 13 != 0 verbatim. Diff status
+    # computed generically (full outer join), not from the constants.
+    """
+    WITH old AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    new AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS key,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text != n.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text != n.text
+    """,
+)
+def snapshot_diff(sf_dir: str):
+    """Snapshot diff between two corpus versions (stages/diff.py):
+    narrow (key, hash, side) partials, ONE bucketed key shuffle,
+    vectorized per-bucket status pivot — payloads never move, output
+    bounded by churn."""
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages.diff import snapshot_diff as diff
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def make_old(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % 10 != 0))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.if_else(
+            pa.array(ids % 7 == 0),
+            pc.binary_join_element_wise(b["text"], " v1", ""),
+            b["text"],
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    def make_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 13 != 0))
+
+    old = docs.map_batches(make_old, batch_format="pyarrow")
+    new = docs.map_batches(make_new, batch_format="pyarrow")
+    return finalize(
+        diff(old, new),
+        pa.schema([("key", pa.int64()), ("status", pa.string())]),
+    )
+
+
+@query(
+    "training_shards",
+    # the md5 shard rule is recomputed generically in SQL — same kernel
+    # as the samplers (stages/sample.py _key_hashes, md5 mode)
+    """
+    SELECT md5_number_upper(CAST(doc_id AS VARCHAR)) % 16 AS shard,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def training_shards(sf_dir: str):
+    """Resumable sharded training output (stages/output.py): writes the
+    corpus as hash-sharded hive-partitioned Parquet to scratch, then
+    returns the manifest's per-shard row counts — the deterministic
+    shard assignment a resumable 100 TB write rests on, cross-checked
+    against DuckDB recomputing the same md5 rule."""
+    import os
+    import shutil
+
+    from doppel_ray.stages.output import write_training_shards
+
+    out_dir = os.path.join(
+        "/tmp/doppel_ray_scratch", "shards_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    manifest = write_training_shards(
+        ds, out_dir, num_shards=16, key_col="doc_id", method="md5"
+    )
+    rows = [
+        {"shard": int(k), "n": v}
+        for k, v in manifest["rows_per_shard"].items()
+        if v > 0
+    ]
+    rows.sort(key=lambda r: r["shard"])
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("shard", pa.int64()), ("n", pa.int64())])
+    )
