@@ -2288,3 +2288,152 @@ def bpe_merges(sf_dir: str):
 
     ds = read_documents(sf_dir, columns=["text"])
     return bpe.learn_bpe(ds, 24)
+
+
+@query("compression_signal")  # rows-only: DuckDB has no zlib-length SQL
+# function; the exact lengths are cross-checked against direct
+# zlib.compress on the same parquet in tests/test_lm_compress.py
+def compression_signal(sf_dir: str):
+    """Per-doc zlib compression signal (raw UTF-8 bytes vs compressed
+    bytes) — the classic cheap spam/gibberish detector (repetitive spam
+    compresses far below natural text, random junk barely at all).
+    Integer columns only, so the result is bit-deterministic; pure map
+    stage, zero shuffles (stages/textstats.py:add_compression_signal)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = textstats.add_compression_signal(ds)
+    return finalize(
+        out.select_columns(["doc_id", "raw_len", "comp_len"]),
+        pa.schema(
+            [("doc_id", pa.int64()), ("raw_len", pa.int64()), ("comp_len", pa.int64())]
+        ),
+    )
+
+
+@query("bpe_unit_counts")  # rows-only: greedy merge application has no
+# SQL analog; pinned vs a brute-force per-word encoder and the
+# train->encode round-trip invariant in tests/test_bpe.py
+def bpe_unit_counts(sf_dir: str):
+    """Tokenizer APPLY half: learn 32 BPE merges on the corpus, then
+    encode every document and count its subword units (stages/bpe.py:
+    BPEEncoder — merge ranks + Zipf-friendly word memo built once per
+    actor; corpus passes: one word-freq shuffle + one map)."""
+    from doppel_ray.stages import bpe
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    merges_tbl = bpe.learn_bpe(ds, 32)
+    merges = [(r["left"], r["right"]) for r in merges_tbl.to_pylist()]
+    out = bpe.encode_unit_counts(ds, merges)
+    return finalize(
+        out.select_columns(["doc_id", "n_bpe_units"]),
+        pa.schema([("doc_id", pa.int64()), ("n_bpe_units", pa.int64())]),
+    )
+
+
+@query("lm_perplexity")  # rows-only: interpolated-bigram perplexity is
+# not SQL-expressible with hash-stable floats; the model + scores are
+# pinned vs a brute-force reference LM in tests/test_lm_compress.py
+def lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality signal: train a bounded interpolated
+    bigram LM on the corpus (top-V vocab + capped bigram table, both
+    broadcast once), score every doc's perplexity (stages/lm.py —
+    two narrow training shuffles, zero-shuffle scoring)."""
+    from doppel_ray.stages import lm
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    model = lm.train_bigram_lm(ds, vocab_size=20_000, max_bigrams=500_000)
+    return finalize(
+        lm.perplexity_scores(ds, model),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("ppl", pa.float64())]
+        ),
+    )
+
+
+#: BM25 demo query: mixed document frequencies (at sf0.01 'dup' df=25,
+#: 'hash'/'vector' df~390 of 500) exercise the idf range.
+_BM25_TERMS = ["dup", "hash", "vector"]
+_BM25_K = 25
+
+
+def _bm25_sql() -> str:
+    """Oracle mirroring stages/retrieval.py term-by-term: same RE2
+    tokenizer, same integer stats, the same score expression tree with
+    every float literal cast to DOUBLE (bare SQL literals are DECIMAL,
+    whose arithmetic rounds differently from IEEE doubles). The emitted
+    score is ``floor(score * 1e6)`` int64: DuckDB's ``ln`` and numpy's
+    ``log`` differ by 1 ulp on ~30% of inputs (measured), so raw-double
+    hash compare is impossible, while the fixed-point floor absorbs
+    ulp noise and still pins 6 decimal digits of the score math."""
+    tf_cols = ",\n             ".join(
+        "length(list_filter(toks, t -> t = '{0}'))::BIGINT AS tf_{1}".format(w, i)
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n           + ".join(
+        f"ln(1.0::DOUBLE + (g.n - g.df_{i} + 0.5::DOUBLE) / (g.df_{i} + 0.5::DOUBLE))"
+        f" * (f.tf_{i} * (1.2::DOUBLE + 1.0::DOUBLE))"
+        f" / (f.tf_{i} + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE"
+        f" + 0.75::DOUBLE * (f.dl / (g.sum_dl / g.n))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             length(toks)::BIGINT AS dl,
+             {tf_cols}
+      FROM tok
+    ),
+    g AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(dl)::BIGINT AS sum_dl,
+             {df_cols}
+      FROM f
+    ),
+    s AS (
+      SELECT f.doc_id,
+             {terms} AS score
+      FROM f CROSS JOIN g
+    )
+    SELECT doc_id, floor(score * 1000000.0::DOUBLE)::BIGINT AS score_u
+    FROM s
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_K}
+    """
+
+
+@query("bm25_topk", _bm25_sql())
+def bm25_topk_query(sf_dir: str):
+    """Okapi BM25 top-k keyword retrieval (stages/retrieval.py): two
+    streaming passes (per-doc term stats -> one (m+2)-integer fold ->
+    broadcast idf/avgdl scalars -> score map) + block-pruned global
+    top-k; no full sort, no wide shuffle. Output score is floored
+    micro-units so the compare is integer-exact (see _bm25_sql)."""
+    import pyarrow.compute as pc_
+
+    from doppel_ray.stages import retrieval
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    top = retrieval.bm25_topk(ds, _BM25_TERMS, k=_BM25_K)
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score_u": pc_.cast(
+                    pc_.floor(pc_.multiply(batch["score"], 1000000.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return finalize(
+        top.map_batches(to_micro, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("score_u", pa.int64())]),
+    )

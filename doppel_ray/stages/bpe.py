@@ -239,3 +239,89 @@ def _learn_distributed(wf: Dataset, n_merges: int) -> pa.Table:
 
         cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
     return pa.Table.from_pylist(merges, schema=MERGES_SCHEMA)
+
+
+class BPEEncoder:
+    """Actor-pool BPE encoder: applies a learned merge list (rank order)
+    to count subword units per document. Merge ranks live in a dict
+    built ONCE per actor (``__init__``); each batch tokenizes
+    vectorized, encodes each DISTINCT word once (per-actor memo — web
+    text is Zipfian, so the memo hit rate is the token/type ratio), and
+    sums unit counts per doc.
+
+    Encoding uses the standard greedy lowest-rank-pair loop (the
+    inverse of training, so train->encode round-trips: a word seen in
+    training encodes to the units training left it with)."""
+
+    def __init__(self, merges: list[tuple[str, str]], *, text_col: str = "text",
+                 lowercase: bool = True):
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.text_col = text_col
+        self.lowercase = lowercase
+        self._memo: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self._memo.get(word)
+        if n is not None:
+            return n
+        syms = _symbolize(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        if len(self._memo) < 1_000_000:  # bound actor memory
+            self._memo[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from doppel_ray.stages.decontam import _flat_tokens
+
+        texts = batch[self.text_col]
+        if self.lowercase:
+            texts = pc.utf8_lower(texts)
+        flat, counts = _flat_tokens(texts)
+        words = flat.to_pylist()
+        lens = np.fromiter(
+            (self._encode_len(w) for w in words), dtype=np.int64, count=len(words)
+        )
+        bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        per_doc = np.add.reduceat(
+            np.concatenate([lens, [0]]), bounds[:-1]
+        ) * (counts > 0)
+        return batch.drop_columns([self.text_col]).append_column(
+            "n_bpe_units", pa.array(per_doc.astype(np.int64), type=pa.int64())
+        )
+
+
+def encode_unit_counts(
+    ds: Dataset,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    lowercase: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+) -> Dataset:
+    """Per-doc BPE unit counts under a learned merge list — the
+    train->apply half of the tokenizer story (stateful actor pool,
+    merges + memo in ``__init__``). Default concurrency is the
+    autoscaling ``(1, 4)`` pool (see lm.perplexity_scores: a fixed
+    pool deadlocks against upstream blocking split tasks on small
+    CPU budgets)."""
+    return ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs={
+            "merges": merges,
+            "text_col": text_col,
+            "lowercase": lowercase,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 4),
+    )

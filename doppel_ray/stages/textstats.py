@@ -223,3 +223,28 @@ def chunk_documents(
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def add_compression_signal(
+    ds: Dataset, *, text_col: str = "text", level: int = 6
+) -> Dataset:
+    """Per-doc zlib compression signal: ``raw_len`` / ``comp_len`` UTF-8
+    byte lengths — the classic cheap gibberish/boilerplate detector
+    (natural text compresses to ~30-50%; repeated spam compresses far
+    more, random junk barely at all). Appended as integer columns so
+    downstream filters threshold on the exact ratio ``comp_len * 100 //
+    raw_len`` with no float drift.
+
+    Pure map stage, zero shuffles; zlib runs once per row at C speed on
+    the encoded buffer (the per-row Python is the loop driving a C
+    call, not per-character work)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        raw = [t.encode() if t is not None else b"" for t in batch[text_col].to_pylist()]
+        comp = [len(zlib.compress(b, level)) for b in raw]
+        return batch.append_column(
+            "raw_len", pa.array([len(b) for b in raw], type=pa.int64())
+        ).append_column("comp_len", pa.array(comp, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

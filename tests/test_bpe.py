@@ -87,3 +87,73 @@ class TestBPE:
             for r in bpe.word_freqs(_ds()).take_all()
         }
         assert wf["low"] == 4 and wf["newer"] == 3 and wf["widest"] == 1
+
+
+def _reference_encode_len(word: str, merges: list[tuple[str, str]]) -> int:
+    """Brute-force greedy encoder: repeatedly apply the LOWEST-rank
+    applicable merge (the standard BPE inference loop)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word) + [bpe.EOW]
+    while len(syms) > 1:
+        cands = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cands:
+            break
+        _, i = min(cands)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return len(syms)
+
+
+class TestBPEEncode:
+    def test_matches_reference_encoder(self, ray_session):
+        merges_tbl = bpe.learn_bpe(_ds(), 12)
+        merges = [(r["left"], r["right"]) for r in merges_tbl.to_pylist()]
+        got = {
+            r["doc_id"]: r["n_bpe_units"]
+            for r in bpe.encode_unit_counts(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+                            "text": pa.array(TEXTS, type=pa.string()),
+                        }
+                    )
+                ),
+                merges,
+            ).take_all()
+        }
+        for i, t in enumerate(TEXTS):
+            want = sum(_reference_encode_len(w, merges) for w in t.lower().split())
+            assert got[i] == want, (i, t)
+
+    def test_null_and_empty_texts(self, ray_session):
+        merges = [("l", "o")]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": pa.array(["lo lo", None, ""], type=pa.string()),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["n_bpe_units"]
+            for r in bpe.encode_unit_counts(ds, merges).take_all()
+        }
+        # "lo" -> [lo, </w>] = 2 units, twice
+        assert got == {0: 4, 1: 0, 2: 0}
+
+    def test_no_merges_counts_chars_plus_eow(self, ray_session):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], type=pa.int64()),
+                    "text": pa.array(["abc de"], type=pa.string()),
+                }
+            )
+        )
+        got = bpe.encode_unit_counts(ds, []).take_all()[0]
+        assert got["n_bpe_units"] == (3 + 1) + (2 + 1)
