@@ -870,3 +870,78 @@ def embedding_decontam(sf_dir: str):
         out,
         pa.schema([("vec_id", pa.int64()), ("n_matches", pa.int64())]),
     )
+
+
+@query(
+    "tiered_dedup",
+    # The tier-attribution oracle: window mins give the exact and
+    # normalized tiers; the near tier reuses near_dedup_keep_first's
+    # proven shingle/Jaccard/transitive-closure CTE chain verbatim
+    # (components over ALL docs — identical normalized texts share
+    # shingle sets, so every component min is itself a kept doc and
+    # the CASE ladder resolves eliminated docs at their earlier tier).
+    r"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text) AS exact_min,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    nm AS (
+      SELECT doc_id, exact_min,
+             min(doc_id) OVER (PARTITION BY t) AS norm_min, t
+      FROM base
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+      FROM nm, LATERAL (SELECT unnest(generate_series(1, strlen(t) - 4)) AS i)
+      WHERE strlen(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE 5 * i >= 4 * (sa.c + sb.c - i)
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL
+      SELECT id_b, id_a FROM pr
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (SELECT a AS node, least(min(b), a) AS label FROM reach GROUP BY a)
+    SELECT nm.doc_id,
+           CASE WHEN nm.doc_id > nm.exact_min THEN 'exact'
+                WHEN nm.doc_id > nm.norm_min THEN 'normalized'
+                WHEN lab.label IS NOT NULL AND lab.label < nm.doc_id THEN 'near'
+                ELSE 'kept' END AS tier
+    FROM nm LEFT JOIN lab ON lab.node = nm.doc_id
+    ORDER BY doc_id
+    """,
+)
+def tiered_dedup(sf_dir: str):
+    """THE namesake pipeline: every document attributed to the first
+    dedup tier that eliminates it (exact -> normalized -> near -> kept)
+    — the per-tier dedup ledger a 100 TB curation run publishes
+    (stages/tiered.py: two narrow key shuffles + the proven near-dedup
+    machinery; payloads never shuffle)."""
+    from doppel_ray.stages import tiered
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = tiered.tiered_dedup(ds)
+    return finalize(
+        out,
+        pa.schema([("doc_id", pa.int64()), ("tier", pa.string())]),
+    )
