@@ -17,11 +17,12 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline: the full exact-dup cascade (size -> quick hash ->
-    full hash -> duplicate groups) over the sf0.001 ``documents`` table."""
+    """Flagship pipeline: the namesake TIERED dedup ledger (exact ->
+    normalized -> near -> kept, stages/tiered.py) over the sf0.001
+    ``documents`` table — one row per document with its tier."""
     from doppel_ray.pipelines import registry
 
-    return registry()["exact_dup_groups"]("/root/testdata/sf0.001")
+    return registry()["tiered_dedup"]("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -243,6 +243,23 @@ def _query_specs(limit: int | None = None) -> dict:
         idx_ds = ds.map_batches(side(0), batch_format="pyarrow")
         return incremental.dedup_against_index(new_ds, idx_ds).count()
 
+    def q_tiered_pages():
+        # the namesake ledger over the full pages corpus: url -> int64
+        # id via sip64 (the incremental leg's idiom; "first" becomes
+        # hash order, irrelevant for throughput)
+        import numpy as np
+        import pyarrow as pa
+
+        from doppel_ray.functions.hashing import sip64
+        from doppel_ray.stages import tiered
+
+        def add_id(batch):
+            ids = sip64(batch["url"].to_pandas()).astype(np.int64)
+            return batch.append_column("doc_id", pa.array(ids))
+
+        ds = read_pages(bench_dir).map_batches(add_id, batch_format="pyarrow")
+        return tiered.tiered_dedup(ds, mh_cfg).count()
+
     specs = {}
     if not SCALE_MODE:
         specs.update(
@@ -253,6 +270,7 @@ def _query_specs(limit: int | None = None) -> dict:
                 "containment_documents": q_containment_documents,
                 "decontam_pages": q_decontam_pages,
                 "incremental_pages": q_incremental_pages,
+                "tiered_pages": q_tiered_pages,
             }
         )
     else:
@@ -398,6 +416,7 @@ def _query_specs_names() -> list[str]:
             "containment_documents",
             "decontam_pages",
             "incremental_pages",
+            "tiered_pages",
         ]
     else:
         names += ["simhash_pages", "decontam_pages"]
