@@ -2437,3 +2437,129 @@ def bm25_topk_query(sf_dir: str):
         top.map_batches(to_micro, batch_format="pyarrow"),
         pa.schema([("doc_id", pa.int64()), ("score_u", pa.int64())]),
     )
+
+
+def _hybrid_sql() -> str:
+    """RRF hybrid-retrieval oracle: each leg ranked by its micro-unit
+    floored score (ties id ASC) exactly as stages/retrieval.py's
+    determinism contract prescribes; from integer ranks onward the RRF
+    arithmetic is two exact divisions + one add — bit-identical across
+    engines. Embeddings cast to DOUBLE[] (list_cosine_similarity would
+    otherwise accumulate in float32; measured 0 micro-unit mismatches
+    at sf0.01 after the cast)."""
+    bm25 = _bm25_sql()
+    # reuse the BM25 CTE chain up to the per-doc score relation `s`
+    body = bm25[: bm25.index("SELECT doc_id, floor(score")]
+    return f"""{body}
+    , sq AS (
+      SELECT doc_id, floor(score * 1000000.0::DOUBLE)::BIGINT AS score_u
+      FROM s
+    ),
+    sr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id) AS r
+      FROM sq ORDER BY score_u DESC, doc_id LIMIT 50
+    ),
+    cosq AS (
+      SELECT x.vec_id AS doc_id,
+             floor(list_cosine_similarity(
+               x.embedding::DOUBLE[], q.embedding::DOUBLE[]
+             ) * 1000000.0::DOUBLE)::BIGINT AS cos_u
+      FROM embeddings x, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    cr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_u DESC, doc_id) AS r
+      FROM cosq ORDER BY cos_u DESC, doc_id LIMIT 50
+    ),
+    fused AS (
+      SELECT COALESCE(sr.doc_id, cr.doc_id) AS doc_id,
+             (CASE WHEN sr.r IS NOT NULL
+                   THEN 1.0::DOUBLE / (60 + sr.r) ELSE 0.0::DOUBLE END)
+           + (CASE WHEN cr.r IS NOT NULL
+                   THEN 1.0::DOUBLE / (60 + cr.r) ELSE 0.0::DOUBLE END) AS rrf
+      FROM sr FULL OUTER JOIN cr ON sr.doc_id = cr.doc_id
+    )
+    SELECT doc_id, floor(rrf * 1000000000.0::DOUBLE)::BIGINT AS rrf_u
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
+@query("hybrid_topk", _hybrid_sql())
+def hybrid_topk(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 sparse leg
+    (_BM25_TERMS) and a dense cosine leg (query = doc 0's embedding) —
+    the standard production search shape (stages/retrieval.py:
+    hybrid_rrf_topk; both legs stream into block-pruned top-k, only
+    two <= 50-row tables reach the driver)."""
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages import retrieval
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    embeds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    qrow = embeds.filter(expr="vec_id == 0").take_all()
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    return retrieval.hybrid_rrf_topk(
+        docs, embeds, _BM25_TERMS, qv, k=20, leg_n=50, rrf_k=60
+    )
+
+
+@query(
+    "novelty_scores",
+    # exact gram-overlap oracle: DISTINCT token 3-grams per doc (n=3 so
+    # the check is non-vacuous at sf0.01, mirroring contaminated_docs;
+    # the shipping n=8 path is pinned in tests/test_novelty.py); index =
+    # doc_id % 3 == 0. novelty is one BIGINT/BIGINT IEEE division.
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{A.WS_TOKEN_RE}') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(tk)-2, 0))) AS u(i)
+    ),
+    idx AS (SELECT DISTINCT g FROM grams WHERE doc_id % 3 = 0),
+    newg AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0)
+    SELECT newg.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           (count(*)::BIGINT
+            - sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT)
+           / count(*)::BIGINT AS novelty
+    FROM newg LEFT JOIN idx ON newg.g = idx.g
+    GROUP BY newg.doc_id
+    ORDER BY newg.doc_id
+    """,
+)
+def novelty_scores(sf_dir: str):
+    """Crawl-batch novelty audit (stages/novelty.py): fraction of each
+    new document's distinct token n-grams the index corpus (doc_id % 3
+    == 0 plays the existing crawl) has never seen — ONE narrow gram-hash
+    shuffle, no broadcast, no payload movement."""
+    import pyarrow.compute as pc_
+
+    from doppel_ray.stages import novelty
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def side(is_index: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3) == 0
+            return batch.filter(pa.array(m if is_index else ~m))
+
+        return fn
+
+    index_ds = ds.map_batches(side(True), batch_format="pyarrow")
+    new_ds = ds.map_batches(side(False), batch_format="pyarrow")
+    out = novelty.novelty_scores(new_ds, index_ds, n=3)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_grams", pa.int64()),
+                ("n_hit", pa.int64()),
+                ("novelty", pa.float64()),
+            ]
+        ),
+    )

@@ -114,3 +114,66 @@ class TestBM25:
         assert stats[1]["dl"] == 4 and stats[1]["tf_0"] == 3  # dup x3
         assert stats[1]["has_0"] == 1 and stats[1]["tf_2"] == 0
         assert stats[5]["dl"] == 0 and stats[5]["tf_0"] == 0
+
+
+def _emb_ds(n, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array(
+                        [row.tolist() for row in m], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ),
+        m,
+    )
+
+
+def _reference_hybrid(texts, terms, m, *, k=4, leg_n=5, rrf_k=60):
+    bm = _reference_bm25(texts, terms)
+    sp = sorted(range(len(texts)), key=lambda i: (-math.floor(bm[i] * 1e6), i))
+    r_sp = {d: i + 1 for i, d in enumerate(sp[:leg_n])}
+    q = m[0] / np.linalg.norm(m[0])
+    cos = [float(v @ q / np.linalg.norm(v)) for v in m]
+    de = sorted(range(len(m)), key=lambda i: (-math.floor(cos[i] * 1e6), i))
+    r_de = {d: i + 1 for i, d in enumerate(de[:leg_n])}
+    fused = []
+    for d in sorted(set(r_sp) | set(r_de)):
+        rrf = (1.0 / (rrf_k + r_sp[d]) if d in r_sp else 0.0) + (
+            1.0 / (rrf_k + r_de[d]) if d in r_de else 0.0
+        )
+        fused.append((d, rrf))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    return [(d, int(math.floor(r * 1e9))) for d, r in fused[:k]]
+
+
+class TestHybridRRF:
+    def test_matches_reference(self, ray_session):
+        embeds, m = _emb_ds(len(TEXTS))
+        got = retrieval.hybrid_rrf_topk(
+            _ds(), embeds, TERMS, m[0], k=4, leg_n=5, rrf_k=60
+        )
+        want = _reference_hybrid(TEXTS, TERMS, m, k=4, leg_n=5)
+        assert list(zip(got["doc_id"].to_pylist(), got["rrf_u"].to_pylist())) == want
+
+    def test_doc_in_single_leg_still_fused(self, ray_session):
+        # with leg_n=2 the legs pick different docs; fusion must keep
+        # single-leg docs with the missing term contributing zero
+        embeds, m = _emb_ds(len(TEXTS))
+        got = retrieval.hybrid_rrf_topk(
+            _ds(), embeds, TERMS, m[0], k=len(TEXTS), leg_n=2, rrf_k=60
+        )
+        want = _reference_hybrid(TEXTS, TERMS, m, k=len(TEXTS), leg_n=2)
+        assert list(zip(got["doc_id"].to_pylist(), got["rrf_u"].to_pylist())) == want
+
+    def test_validates_params(self, ray_session):
+        embeds, m = _emb_ds(len(TEXTS))
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            retrieval.hybrid_rrf_topk(_ds(), embeds, TERMS, m[0], k=0)
