@@ -2563,3 +2563,155 @@ def novelty_scores(sf_dir: str):
             ]
         ),
     )
+
+
+def _pagerank_sql(num_iters: int = 3) -> str:
+    """Unrolled integer-PageRank oracle: every step is exact int64
+    arithmetic (// is floor division on positive BIGINTs in both
+    engines), so ranks compare hash-exactly at any summation order.
+    The synthetic link graph gives every doc exactly 3 out-edges
+    (dst = (id*31 + i*7) % N, i in 1..3 — multi-edges kept with
+    multiplicity), so there are no dangling nodes and the node set is
+    exactly the doc_id range."""
+    parts = [
+        """
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 31 + i * 7) % (SELECT n FROM nn) AS dst
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(i)
+    ),
+    outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+    it0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM documents)
+    """
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(
+            f"""
+    , s{k} AS (
+      SELECT e.dst AS node, sum(p.r // o.od)::BIGINT AS c
+      FROM edges e
+      JOIN it{k - 1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY 1
+    ),
+    it{k} AS (
+      SELECT d.doc_id AS node,
+             (150000 + (85 * COALESCE(s.c, 0)) // 100)::BIGINT AS r
+      FROM documents d
+      LEFT JOIN s{k} s ON s.node = d.doc_id
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT node, r AS rank FROM it{num_iters} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+@query("pagerank_scores", _pagerank_sql(3))
+def pagerank_scores(sf_dir: str):
+    """Link-authority ranking: 3 iterations of all-integer PageRank
+    (stages/graph.py — per iteration: edges join ranks on src, narrow
+    (dst, contrib) groupby, left join onto the node set; the broadcast
+    regime holds only the O(nodes) rank vector on the driver) over a
+    deterministic synthetic link graph derived from doc_id."""
+    from doppel_ray.stages import graph
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        i = np.tile(np.arange(1, 4, dtype=np.int64), len(ids))
+        dst = (src * 31 + i * 7) % n
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    out = graph.pagerank(edges, num_iters=3)
+    return finalize(
+        out, pa.schema([("node", pa.int64()), ("rank", pa.int64())])
+    )
+
+
+@query(
+    "source_capped_sample",
+    """
+    SELECT source, doc_id, rnk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5_number_upper(doc_id::VARCHAR), doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= 40
+    """,
+)
+def source_capped_sample(sf_dir: str):
+    """Per-source document cap (the Gopher/C4-style per-domain limit
+    that stops one host dominating the training mix): keep at most 40
+    docs per source, chosen by md5-hash rank so the cap is a
+    deterministic uniform sample at any layout or run count
+    (stages/rank.py window_rank: ONE bucketed shuffle on source,
+    per-bucket prune; the hash order and the SQL's md5_number_upper
+    are the same bytes — functions/text.md5_token_hash64)."""
+    from doppel_ray.functions.text import md5_token_hash64
+    from doppel_ray.stages.rank import window_rank
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_token_hash64(ids.astype(str))
+        return batch.append_column("h", pa.array(h, type=pa.uint64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    capped = window_rank(
+        hashed, "source", ["h", "doc_id"], out_col="rnk", limit=40
+    )
+    return finalize(
+        capped.select_columns(["source", "doc_id", "rnk"]),
+        pa.schema(
+            [("source", pa.string()), ("doc_id", pa.int64()), ("rnk", pa.int64())]
+        ),
+    )
+
+
+@query(
+    "inverted_index",
+    rf"""
+    SELECT token,
+           count(*)::BIGINT AS df,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM (
+      SELECT DISTINCT doc_id, t.token
+      FROM (
+        SELECT doc_id, regexp_extract_all(text, '{A.WS_TOKEN_RE}') AS tk
+        FROM documents
+      ), UNNEST(tk) AS t(token)
+    )
+    GROUP BY token
+    HAVING count(*) BETWEEN 5 AND 400
+    """,
+)
+def inverted_index(sf_dir: str):
+    """Inverted-index build (stages/vocab.py posting_lists): per token
+    in df-range [5, 400], the ascending comma-joined doc-id posting
+    list — ONE bucketed token shuffle of globally-distinct (token, doc)
+    pairs; the df ceiling keeps stopword rows out (a web-scale posting
+    list for 'the' is corpus-sized)."""
+    from doppel_ray.stages.vocab import posting_lists
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = posting_lists(ds, min_df=5, max_df=400)
+    return finalize(
+        out,
+        pa.schema(
+            [("token", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+        ),
+    )

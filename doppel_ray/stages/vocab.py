@@ -131,3 +131,91 @@ def add_oov_columns(
         return out
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def posting_lists(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 10_000,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Inverted-index construction: ``(token, df, postings)`` where
+    ``postings`` is the comma-joined ASCENDING doc-id list — the
+    retrieval-infrastructure build artifact (a BM25/boolean engine's
+    index segment), emitted as a relation so it writes straight to
+    Parquet shards.
+
+    ``max_df`` is a REQUIRED ceiling, not an optimization: at web scale
+    a stopword's posting list is corpus-sized (every real indexer
+    stop-lists or block-splits those), and a CSV cell must stay
+    worker-heap-bounded. Rows outside ``[min_df, max_df]`` are dropped.
+
+    Scale shape: one ``map_batches`` explodes docs to globally-distinct
+    ``(token, doc_id)`` pairs (in-batch dedupe is exact because a doc
+    is one row — the ``document_frequency`` argument above); ONE
+    bucketed shuffle on token co-locates each token's pairs; the bucket
+    sorts and joins vectorized per group. Output is bounded by
+    vocabulary x max_df, not corpus size.
+    """
+    if min_df < 1 or max_df < min_df:
+        raise ValueError("need 1 <= min_df <= max_df")
+
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "token": flat,
+                "doc_id": pa.array(ids[row_idx], type=pa.int64()),
+            }
+        )
+        dd = t.to_pandas().drop_duplicates()
+        return pa.table(
+            {
+                "token": pa.array(dd["token"], type=pa.string()),
+                "doc_id": pa.array(
+                    dd["doc_id"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    out_schema = pa.schema(
+        [("token", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = g.to_pandas()
+        sizes = df.groupby("token", sort=False)["doc_id"].size()
+        keep = sizes[(sizes >= min_df) & (sizes <= max_df)]
+        if keep.empty:
+            return out_schema.empty_table()
+        sub = df[df["token"].isin(keep.index)].sort_values(["token", "doc_id"])
+        # the per-group join runs once per DISTINCT token in the bucket
+        # (vocabulary-bounded, the same Heaps'-law bound the vocab
+        # broadcast relies on), never per document
+        agg = sub.groupby("token", sort=True)["doc_id"].agg(
+            lambda s: ",".join(map(str, s.to_numpy()))
+        )
+        toks = agg.index.to_numpy()
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "df": pa.array(
+                    keep.loc[toks].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "postings": pa.array(agg.to_numpy(), type=pa.string()),
+            }
+        )
+
+    return bucketed_group_apply(pairs, "token", per_bucket, num_buckets=num_buckets)

@@ -113,3 +113,67 @@ class TestOOVScoring:
             """
         ).fetchall()
         assert got == [tuple(r) for r in want]
+
+
+class TestPostingLists:
+    TEXTS = [
+        "apple banana apple",        # 0: apple df-counts once per doc
+        "banana cherry",             # 1
+        "apple cherry date",         # 2
+        None,                        # 3: null doc -> no pairs
+        "banana banana banana",      # 4
+    ]
+
+    def _brute(self, min_df, max_df):
+        out = {}
+        for i, t in enumerate(self.TEXTS):
+            for tok in set((t or "").split()):
+                out.setdefault(tok, []).append(i)
+        return {
+            tok: (len(ids), ",".join(map(str, sorted(ids))))
+            for tok, ids in out.items()
+            if min_df <= len(ids) <= max_df
+        }
+
+    def test_matches_brute_force(self, ray_session):
+        got = {
+            r["token"]: (r["df"], r["postings"])
+            for r in V.posting_lists(
+                _docs(self.TEXTS), min_df=1, max_df=10
+            ).take_all()
+        }
+        assert got == self._brute(1, 10)
+
+    def test_df_window(self, ray_session):
+        # banana df=3, apple df=2, cherry df=2, date df=1
+        got = {
+            r["token"]: r["postings"]
+            for r in V.posting_lists(
+                _docs(self.TEXTS), min_df=2, max_df=2
+            ).take_all()
+        }
+        assert got == {"apple": "0,2", "cherry": "1,2"}
+
+    def test_layout_invariant(self, ray_session):
+        a = sorted(
+            map(
+                str,
+                V.posting_lists(_docs(self.TEXTS), min_df=1, max_df=10)
+                .take_all(),
+            )
+        )
+        b = sorted(
+            map(
+                str,
+                V.posting_lists(
+                    _docs(self.TEXTS).repartition(5), min_df=1, max_df=10
+                ).take_all(),
+            )
+        )
+        assert a == b
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            V.posting_lists(_docs(self.TEXTS), min_df=0)
+        with pytest.raises(ValueError):
+            V.posting_lists(_docs(self.TEXTS), min_df=5, max_df=4)
