@@ -71,3 +71,7 @@ def _load() -> None:
         from doppel_ray.pipelines import relational_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from doppel_ray.pipelines import link_queries  # noqa: F401
+    except ImportError:
+        pass

@@ -1,0 +1,296 @@
+"""Crawl-graph queries (stages/links.py + stages/graph.py): URL
+canonicalization dup-grouping, SURT keys, host-level link-graph
+assembly from real href extraction, and link-authority PageRank over
+the extracted graph. Pages are synthesized deterministically from
+``documents.doc_id`` (BASELINE.json input_hint page shape; the driver
+corpus has no pages table), so every oracle recomputes the INTENDED
+result from the same arithmetic — any extraction/canonicalization
+corruption on the Ray side surfaces as a hash mismatch, the
+extract_dedup pattern (pipelines/dedup_queries.py).
+
+The SQL canonical/SURT/host expressions are emitted by
+stages/links.canonical_sql / surt_sql / host_sql from the module's own
+RE2 pattern constants — one source of truth, both engines RE2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count
+
+from doppel_ray.pipelines import finalize, query
+from doppel_ray.sources.parquet import read_documents
+from doppel_ray.stages import links as L
+
+#: host ring size for the synthetic link graph (prime, < doc count at
+#: every sf, so each host occurs as a src and the graph has no dangling
+#: nodes)
+_NH = 23
+
+
+def _s(arr) -> pa.Array:
+    return pc.cast(arr, pa.string())
+
+
+def _ids(batch: pa.Table) -> np.ndarray:
+    return batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _sa(vals: np.ndarray) -> pa.Array:
+    """int64 numpy -> string array (DuckDB int->VARCHAR concat parity)."""
+    return pa.array(vals.astype(str), type=pa.string())
+
+
+@query(
+    "canonical_url_dups",
+    f"""
+    WITH v AS (
+      SELECT 'HTTP://SITE' || (doc_id % 37) || '.EXAMPLE/Page/' || doc_id
+             || '?utm_source=x&utm_id=' || doc_id || '#frag' AS u
+      FROM documents
+      UNION ALL
+      SELECT 'http://site' || (doc_id % 37) || '.example:80/Page/'
+             || doc_id || '/' FROM documents
+      UNION ALL
+      SELECT 'http://site' || (doc_id % 37) || '.example/Page/' || doc_id
+      FROM documents
+      UNION ALL
+      SELECT 'https://Site' || (doc_id % 37) || '.example:443/Page/'
+             || doc_id || '?a=1&utm_c=3'
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT {L.canonical_sql('u')} AS canon_url,
+           count(*)::BIGINT AS n_variants
+    FROM v GROUP BY 1
+    """,
+)
+def canonical_url_dups(sf_dir: str):
+    """URL-canonicalization dedup (the crawl frontier's 'have I seen
+    this page' key): messy variants of each page URL — upper-cased
+    authority, fragment, utm_* params, default port, trailing slash —
+    collapse to one canonical form; groups count the collapsed
+    variants. One vectorized canonicalize map + ONE narrow key-only
+    groupby (canonical url, no payload)."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        d = _sa(ids)
+        k = _sa(ids % 37)
+        j = pc.binary_join_element_wise
+        v0 = j("HTTP://SITE", k, ".EXAMPLE/Page/", d, "?utm_source=x&utm_id=", d, "#frag", "")
+        v1 = j("http://site", k, ".example:80/Page/", d, "/", "")
+        v2 = j("http://site", k, ".example/Page/", d, "")
+        even = pa.array(ids % 2 == 0)
+        v3 = j("https://Site", k, ".example:443/Page/", d, "?a=1&utm_c=3", "").filter(even)
+        u = pa.concat_arrays(
+            [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+             for x in (v0, v1, v2, v3)]
+        )
+        return pa.table({"canon_url": L.canonicalize_urls(u)})
+
+    out = (
+        ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("canon_url")
+        .aggregate(Count(alias_name="n_variants"))
+    )
+    return finalize(
+        out,
+        pa.schema([("canon_url", pa.string()), ("n_variants", pa.int64())]),
+    )
+
+
+@query(
+    "surt_doc_keys",
+    f"""
+    SELECT doc_id, {L.surt_sql("('https://www.s' || (doc_id % 7) || '.site'"
+                               " || (doc_id % 37) || '.example/p/' || doc_id"
+                               " || '?x=' || (doc_id % 5))")} AS surt
+    FROM documents
+    """,
+)
+def surt_doc_keys(sf_dir: str):
+    """SURT partition keys (web-archive canonical sort order): reversed
+    host labels cluster a domain's subtree under one key prefix, so a
+    range partition on ``surt`` co-locates each site — the partitioning
+    key a crawl-corpus layout actually uses. Pure vectorized map, zero
+    shuffle."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        d = _sa(ids)
+        url = pc.binary_join_element_wise(
+            "https://www.s", _sa(ids % 7),
+            ".site", _sa(ids % 37),
+            ".example/p/", d, "?x=", _sa(ids % 5), "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "surt": L.surt_key(url)})
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("surt", pa.string())]),
+    )
+
+
+def _synth_pages(batch: pa.Table) -> pa.Table:
+    """Deterministic page per doc: src url on host ``h{doc_id % _NH}``,
+    body carrying 3 absolute anchors to hosts ``h{(doc_id*7+j) % _NH}``
+    (j=1..3) plus a RELATIVE anchor and an UNTERMINATED href that the
+    extractor must drop (the oracle never models them)."""
+    ids = _ids(batch)
+    d = _sa(ids)
+    j = pc.binary_join_element_wise
+    url = j("https://h", _sa(ids % _NH), ".example/p/", d, "")
+    anchors = []
+    for step in (1, 2, 3):
+        anchors.extend(
+            [
+                '<a href="https://h',
+                _sa((ids * 7 + step) % _NH),
+                ".example/d/",
+                _sa((ids * 13 + step * 11) % 100_000),
+                '">t</a>',
+            ]
+        )
+    html = j(
+        "<html><body><p>page ", d, '</p><a href="/local/', d, '">rel</a>',
+        *anchors, '<span href="broken></body></html>', "",
+    )
+    return pa.table(
+        {
+            "url": url,
+            "html": pc.cast(html, pa.large_binary()),
+        }
+    )
+
+
+_EDGE_CTE = f"""
+    e AS (
+      SELECT 'h' || (doc_id % {_NH}) || '.example' AS src_host,
+             'h' || ((doc_id * 7 + j) % {_NH}) || '.example' AS dst_host
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(j)
+    )
+"""
+
+
+@query(
+    "host_link_graph",
+    f"""
+    WITH {_EDGE_CTE}
+    SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+    FROM e GROUP BY 1, 2
+    """,
+)
+def host_link_graph(sf_dir: str):
+    """Host-level link graph from REAL href extraction: pages are built
+    with embedded anchors (plus relative/unterminated decoys), the
+    vectorized extractor recovers the absolute links, and host_edges
+    pre-aggregates per batch so the ONE two-key shuffle carries
+    distinct (src_host, dst_host) pairs — bounded by hosts², never by
+    link count."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    pages = ds.map_batches(_synth_pages, batch_format="pyarrow")
+    edges = L.extract_links(pages)
+    return finalize(
+        L.host_edges(edges),
+        pa.schema(
+            [
+                ("src_host", pa.string()),
+                ("dst_host", pa.string()),
+                ("n_links", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _host_pagerank_sql(num_iters: int = 3) -> str:
+    """Unrolled all-integer PageRank (stages/graph.py contract) over
+    the synthetic host graph — floor-div contribs, so hash-exact at any
+    summation order."""
+    parts = [
+        f"""
+    WITH {_EDGE_CTE},
+    ie AS (
+      SELECT (doc_id % {_NH}) AS src,
+             ((doc_id * 7 + j) % {_NH}) AS dst
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(j)
+    ),
+    nodes AS (SELECT DISTINCT (doc_id % {_NH}) AS node FROM documents),
+    outdeg AS (SELECT src, count(*)::BIGINT AS od FROM ie GROUP BY 1),
+    it0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)
+    """
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(
+            f"""
+    , s{k} AS (
+      SELECT ie.dst AS node, sum(p.r // o.od)::BIGINT AS c
+      FROM ie JOIN it{k - 1} p ON p.node = ie.src
+      JOIN outdeg o ON o.src = ie.src
+      GROUP BY 1
+    ),
+    it{k} AS (
+      SELECT n.node,
+             (150000 + (85 * COALESCE(s.c, 0)) // 100)::BIGINT AS r
+      FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT 'h' || node || '.example' AS host, r AS rank
+    FROM it{num_iters}"""
+    )
+    return "".join(parts)
+
+
+@query("host_pagerank", _host_pagerank_sql(3))
+def host_pagerank(sf_dir: str):
+    """Link authority end-to-end: synth pages → href extraction → host
+    parse → 3 iterations of all-integer PageRank (stages/graph.py;
+    broadcast regime — the host universe is tiny next to the page
+    corpus, exactly the real crawl-graph shape where pages:hosts is
+    ~10⁴:1)."""
+    from doppel_ray.stages import graph
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    pages = ds.map_batches(_synth_pages, batch_format="pyarrow")
+    edges = L.extract_links(pages)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        pat = r"^h(?P<k>[0-9]+)\.example$"
+        sk = pc.struct_field(
+            pc.extract_regex(L.host_of(batch["src_url"]), pattern=pat), "k"
+        )
+        dk = pc.struct_field(
+            pc.extract_regex(L.host_of(batch["dst_url"]), pattern=pat), "k"
+        )
+        t = pa.table(
+            {
+                "src": pc.cast(sk, pa.int64()),
+                "dst": pc.cast(dk, pa.int64()),
+            }
+        ).drop_null()
+        return t
+
+    ranks = graph.pagerank(
+        edges.map_batches(to_ids, batch_format="pyarrow"), num_iters=3
+    )
+
+    def name(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pc.binary_join_element_wise(
+                    "h", _s(batch["node"]), ".example", ""
+                ),
+                "rank": batch["rank"],
+            }
+        )
+
+    return finalize(
+        ranks.map_batches(name, batch_format="pyarrow"),
+        pa.schema([("host", pa.string()), ("rank", pa.int64())]),
+    )
