@@ -75,3 +75,7 @@ def _load() -> None:
         from doppel_ray.pipelines import link_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from doppel_ray.pipelines import curation_queries  # noqa: F401
+    except ImportError:
+        pass

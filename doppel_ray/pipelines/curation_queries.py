@@ -1,0 +1,135 @@
+"""Corpus-curation queries: PII redaction audit, host-blocklist
+filtering, and crawl-frontier selection — the scrub / policy / crawl
+feedback stages a web-corpus release pipeline runs after dedup. PII
+payloads are synthesized deterministically from ``doc_id`` and spliced
+into the REAL ``text`` column (the driver corpus contains no PII), so
+the oracle recomputes the intended result with the SAME RE2 chain —
+`stages/pii.py` emits both sides from one set of pattern constants.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from doppel_ray.pipelines import finalize, query
+from doppel_ray.sources.parquet import read_documents
+from doppel_ray.stages import pii
+
+#: deterministic PII suffix spliced onto each document's real text.
+#: SQL and Arrow build it from the same arithmetic; any drift in the
+#: redaction chain then breaks the value hash.
+_SUFFIX_SQL = (
+    "' contact u' || doc_id || '@m' || (doc_id % 13) || '.example"
+    " ssn ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 90) ||"
+    " '-' || (1000 + doc_id % 9000) || ' tel 555-' ||"
+    " (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000) ||"
+    " ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)"
+)
+_PII_TEXT_SQL = f"(text || {_SUFFIX_SQL})"
+
+
+def _pii_text(batch: pa.Table) -> pa.Array:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+
+    def s(vals) -> pa.Array:
+        return pa.array(vals.astype(str), type=pa.string())
+
+    d = s(ids)
+    out = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()),
+        " contact u", d, "@m", s(ids % 13), ".example ssn ",
+        s(100 + ids % 900), "-", s(10 + ids % 90), "-",
+        s(1000 + ids % 9000), " tel 555-", s(100 + ids % 900), "-",
+        s(1000 + ids % 9000), " from 10.", s(ids % 256), ".0.",
+        s(ids % 100), "",
+    )
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+#: UT1-style source blocklist: every third source id. Built from one
+#: arithmetic on both sides; blocking ids beyond the corpus' source
+#: universe is harmless (set membership, not a join).
+_BLOCK_N = 34
+
+
+@query(
+    "blocklist_filter",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE source NOT IN (
+      SELECT 'src' || (3 * x) FROM generate_series(0, {_BLOCK_N - 1}) t(x)
+    )
+    """,
+)
+def blocklist_filter(sf_dir: str):
+    """Domain-blocklist filtering (the UT1/adult-list scrub every web
+    corpus applies): a small explicit blocklist of sources rides in the
+    task closure (broadcast once per worker — it is a policy artifact
+    of fixed size, never corpus-scale) and each batch drops blocked
+    rows via one vectorized ``is_in``. Zero shuffles; at 100 TB this is
+    a pure streaming filter."""
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+    blocked = pa.array(
+        [f"src{3 * i}" for i in range(_BLOCK_N)], type=pa.string()
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.fill_null(pc.is_in(batch["source"], value_set=blocked), False)
+        )
+        return batch.filter(keep)
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH v AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {pii.count_sql('t', 'email')} AS n_email,
+           {pii.count_sql('t', 'id')} AS n_id,
+           {pii.count_sql('t', 'phone')} AS n_phone,
+           {pii.count_sql('t', 'ip')} AS n_ip,
+           {pii.redacted_sql('t')} AS text_redacted
+    FROM v
+    """,
+)
+def pii_redaction(sf_dir: str):
+    """PII scrub audit: per document, the redacted text plus per-class
+    hit counts (emails, SSN-style ids, phones, IPv4s) taken before
+    rewriting. Pure vectorized RE2 map over (real text + deterministic
+    PII splice) — zero shuffle; stages/pii.py emits the oracle SQL from
+    the same pattern constants."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _pii_text(batch)
+        cols: dict = {"doc_id": batch["doc_id"]}
+        counts = pii.pii_counts(t)
+        cols["n_email"] = counts["n_email"]
+        cols["n_id"] = counts["n_id"]
+        cols["n_phone"] = counts["n_phone"]
+        cols["n_ip"] = counts["n_ip"]
+        cols["text_redacted"] = pii.redact_text(t)
+        return pa.table(cols)
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_email", pa.int64()),
+                ("n_id", pa.int64()),
+                ("n_phone", pa.int64()),
+                ("n_ip", pa.int64()),
+                ("text_redacted", pa.string()),
+            ]
+        ),
+    )

@@ -136,9 +136,9 @@ def surt_doc_keys(sf_dir: str):
     )
 
 
-def _synth_pages(batch: pa.Table) -> pa.Table:
+def _synth_pages(batch: pa.Table, dst_mod: int = _NH) -> pa.Table:
     """Deterministic page per doc: src url on host ``h{doc_id % _NH}``,
-    body carrying 3 absolute anchors to hosts ``h{(doc_id*7+j) % _NH}``
+    body carrying 3 absolute anchors to hosts ``h{(doc_id*7+j) % dst_mod}``
     (j=1..3) plus a RELATIVE anchor and an UNTERMINATED href that the
     extractor must drop (the oracle never models them)."""
     ids = _ids(batch)
@@ -150,7 +150,7 @@ def _synth_pages(batch: pa.Table) -> pa.Table:
         anchors.extend(
             [
                 '<a href="https://h',
-                _sa((ids * 7 + step) % _NH),
+                _sa((ids * 7 + step) % dst_mod),
                 ".example/d/",
                 _sa((ids * 13 + step * 11) % 100_000),
                 '">t</a>',
@@ -293,4 +293,68 @@ def host_pagerank(sf_dir: str):
     return finalize(
         ranks.map_batches(name, batch_format="pyarrow"),
         pa.schema([("host", pa.string()), ("rank", pa.int64())]),
+    )
+
+
+#: frontier fixture: dst hosts ring on a LARGER modulus than src hosts,
+#: so residues _NH.._NHF-1 are discovered-but-never-crawled
+_NHF = 29
+
+
+@query(
+    "frontier_hosts",
+    f"""
+    WITH e AS (
+      SELECT 'h' || (doc_id % {_NH}) || '.example' AS src_host,
+             'h' || ((doc_id * 7 + j) % {_NHF}) || '.example' AS dst_host
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(j)
+    )
+    SELECT dst_host AS host, count(*)::BIGINT AS n_inlinks
+    FROM e WHERE dst_host NOT IN (SELECT DISTINCT src_host FROM e)
+    GROUP BY 1
+    """,
+)
+def frontier_hosts(sf_dir: str):
+    """Crawl-frontier selection: hosts the corpus LINKS TO but has
+    never crawled (no page of theirs in the corpus), prioritized by
+    in-link count — the next-fetch queue a crawler feeds from. Edges
+    come from real href extraction; the crawled-host set is the
+    distinct src_host universe (bounded by hosts, tiny next to pages —
+    the pagerank broadcast argument), collected once and applied as a
+    vectorized anti-membership filter on the pre-aggregated host graph,
+    so nothing page-scale crosses the driver."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    pages = ds.map_batches(
+        lambda b: _synth_pages(b, dst_mod=_NHF), batch_format="pyarrow"
+    )
+    he = L.host_edges(L.extract_links(pages))
+    crawled = pa.array(
+        sorted(
+            {
+                r["src_host"]
+                for r in he.select_columns(["src_host"]).take_all()
+            }
+        ),
+        type=pa.string(),
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.fill_null(
+                pc.is_in(batch["dst_host"], value_set=crawled), False
+            )
+        )
+        t = batch.filter(keep)
+        return pa.table({"host": t["dst_host"], "n_links": t["n_links"]})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        he.map_batches(prune, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_links", alias_name="n_inlinks"))
+    )
+    return finalize(
+        out,
+        pa.schema([("host", pa.string()), ("n_inlinks", pa.int64())]),
     )
