@@ -153,7 +153,9 @@ def _synth_pages(batch: pa.Table, dst_mod: int = _NH) -> pa.Table:
                 _sa((ids * 7 + step) % dst_mod),
                 ".example/d/",
                 _sa((ids * 13 + step * 11) % 100_000),
-                '">t</a>',
+                '">a',
+                _sa((ids + step) % 5),
+                "</a>",
             ]
         )
     html = j(
@@ -293,6 +295,78 @@ def host_pagerank(sf_dir: str):
     return finalize(
         ranks.map_batches(name, batch_format="pyarrow"),
         pa.schema([("host", pa.string()), ("rank", pa.int64())]),
+    )
+
+
+@query(
+    "anchor_texts",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT
+             'h' || ((doc_id * 7 + j) % {_NH}) || '.example' AS host,
+             'a' || ((doc_id + j) % 5) AS t
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(j)
+    )
+    SELECT host, count(*)::BIGINT AS n_texts,
+           string_agg(t, ',' ORDER BY t) AS texts
+    FROM e GROUP BY 1
+    """,
+)
+def anchor_texts(sf_dir: str):
+    """Anchor-text aggregation per target host (the off-page ranking
+    signal: what OTHER sites call a page). Real extraction — hrefs and
+    their visible anchor texts recovered together from the html — then
+    distinct (host, text) pairs per batch and ONE bucketed host shuffle
+    whose buckets sort + join vectorized; the shuffle carries distinct
+    pairs (bounded by hosts x anchor vocabulary), never raw links."""
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    pages = ds.map_batches(_synth_pages, batch_format="pyarrow")
+    rel = L.extract_anchor_texts(pages)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": L.host_of(batch["dst_url"]),
+                "t": batch["anchor_text"],
+            }
+        ).drop_null()
+        dd = t.to_pandas().drop_duplicates()
+        return pa.table(
+            {
+                "host": pa.array(dd["host"], type=pa.string()),
+                "t": pa.array(dd["t"], type=pa.string()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates()
+        agg = df.sort_values("t").groupby("host", sort=False)["t"]
+        out = agg.agg([("n_texts", "size"), ("texts", ",".join)]).reset_index()
+        return pa.table(
+            {
+                "host": pa.array(out["host"], type=pa.string()),
+                "n_texts": pa.array(
+                    out["n_texts"].to_numpy().astype("int64"),
+                    type=pa.int64(),
+                ),
+                "texts": pa.array(out["texts"], type=pa.string()),
+            }
+        )
+
+    out = bucketed_group_apply(
+        rel.map_batches(pairs, batch_format="pyarrow"), "host", per_bucket
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("n_texts", pa.int64()),
+                ("texts", pa.string()),
+            ]
+        ),
     )
 
 

@@ -237,6 +237,87 @@ def extract_links(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: anchor text of an ``href="…"`` fragment: skip the rest of the tag's
+#: attributes, take the text up to the next tag. RE2 on the SAME
+#: fragments `_extract_hrefs` scans, so hrefs and texts stay aligned.
+ANCHOR_TEXT_RE = r'^[^"]*"[^>]*>([^<]*)<'
+
+
+def extract_anchor_texts(
+    ds: Dataset,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    canonicalize: bool = True,
+) -> Dataset:
+    """Page corpus → (src_url, dst_url, anchor_text) rows for absolute
+    links whose tag closes with visible text (``<a href="u">t</a>``) —
+    the anchor-text relation rankers aggregate per target. Same
+    zero-shuffle row-expansion shape as :func:`extract_links`; an href
+    with no parseable anchor text (self-closing, nested tag first) is
+    dropped, exactly as RE2 leaves ``ANCHOR_TEXT_RE`` unmatched."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        html = batch[html_col]
+        if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+            html = pc.cast(html, pa.large_string())
+        html = pc.fill_null(_chunked(html), "")
+        frags = _chunked(pc.split_pattern(html, 'href="'))
+        offs = frags.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pos = np.arange(int(offs[-1] - offs[0]), dtype=np.int64) - np.repeat(
+            offs[:-1] - offs[0], counts
+        )
+        keep = pos > 0
+        cand = pc.take(
+            frags.values,
+            pa.array(np.nonzero(keep)[0] + offs[0], type=pa.int64()),
+        )
+        rows = rows[keep]
+        href = pc.struct_field(
+            pc.extract_regex(cand, pattern=r'^(?P<h>[^"]*)"'), "h"
+        )
+        text = pc.struct_field(
+            pc.extract_regex(
+                cand, pattern=ANCHOR_TEXT_RE.replace("(", "(?P<t>", 1)
+            ),
+            "t",
+        )
+        ok_np = np.asarray(
+            pc.and_(pc.is_valid(href), pc.is_valid(text)).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        ok = pa.array(ok_np)
+        href, text, rows = href.filter(ok), text.filter(ok), rows[ok_np]
+        src = pc.take(
+            _chunked(pc.cast(batch[url_col], pa.string())),
+            pa.array(rows, type=pa.int64()),
+        )
+        abs_keep = pc.fill_null(
+            pc.match_substring_regex(href, AUTH_RE), False
+        )
+        href, text, src = (
+            href.filter(abs_keep),
+            text.filter(abs_keep),
+            src.filter(abs_keep),
+        )
+        if canonicalize:
+            src = canonicalize_urls(src)
+            href = canonicalize_urls(href)
+        return pa.table(
+            {
+                "src_url": pc.cast(src, pa.string()),
+                "dst_url": pc.cast(href, pa.string()),
+                "anchor_text": pc.cast(text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def host_edges(links: Dataset) -> Dataset:
     """(src_url, dst_url) edges → (src_host, dst_host, n_links) host
     graph. Per-batch pre-aggregation makes the ONE two-key shuffle

@@ -175,3 +175,40 @@ class TestHostEdges:
         assert got[("src4.example", "c.example")] == 1
         assert got[("src5.example", "a.example")] == 1
         assert len(got) == 4
+
+
+class TestAnchorTexts:
+    def test_extraction(self, ray_session):
+        got = {
+            (r["dst_url"], r["anchor_text"])
+            for r in L.extract_anchor_texts(_pages(HTML)).take_all()
+        }
+        # closed tag with text -> kept; unterminated tag (no '>') after
+        # the second href of HTML[0] -> '>y' IS parseable text? no '<'
+        # follows, so ANCHOR_TEXT_RE fails -> dropped
+        assert ("http://a.example/1", "x") in got
+        assert not any(u == "http://b.example/2" for u, _ in got)
+        # img tag: '>' closes the tag but no text before next '<'... the
+        # fragment is 'http://a.example/1">' with nothing after -> dropped
+        # relative href dropped; canonicalized absolute kept with text
+        assert ("http://c.example/3", "z") in got
+        assert len(got) == 2
+
+    def test_empty_text_kept_when_closed(self, ray_session):
+        rows = L.extract_anchor_texts(
+            _pages(['<a href="http://a.example/1"></a>tail'])
+        ).take_all()
+        assert len(rows) == 1
+        assert rows[0]["anchor_text"] == ""
+
+    def test_layout_invariant(self, ray_session):
+        a = sorted(map(str, L.extract_anchor_texts(_pages(HTML)).take_all()))
+        b = sorted(
+            map(
+                str,
+                L.extract_anchor_texts(
+                    _pages(HTML * 4).repartition(5)
+                ).take_all(),
+            )
+        )
+        assert len(b) == 4 * len(a)
