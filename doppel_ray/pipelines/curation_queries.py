@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 from doppel_ray.pipelines import finalize, query
 from doppel_ray.sources.parquet import read_documents
 from doppel_ray.stages import pii
+from doppel_ray.stages.classifier import weight_sql
 
 #: deterministic PII suffix spliced onto each document's real text.
 #: SQL and Arrow build it from the same arithmetic; any drift in the
@@ -47,6 +48,63 @@ def _pii_text(batch: pa.Table) -> pa.Array:
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return out
+
+
+_CLF_DIM = 4096
+
+
+@query(
+    "classifier_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             sum({weight_sql(f'(md5_number_upper(tok) % {_CLF_DIM})::BIGINT')})::BIGINT AS s
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.s, 0)::BIGINT AS score,
+           COALESCE(agg.s, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def classifier_scores(sf_dir: str):
+    """fastText-style hashed-linear quality scoring: every document
+    gets an all-integer bag-of-words score under a broadcast weight
+    vector (``hash(token) % dim`` feature buckets) plus the
+    keep/drop threshold label — the model-inference curation shape.
+    Weight vector rides ``ray.put`` → per-ACTOR fetch (stateful actor
+    pool), scoring is one segmented gather-sum per batch, zero
+    shuffles. Weights here are the deterministic fixture vector so the
+    oracle recomputes scores from the same modular formula; a trained
+    model drops in as the same int64 array."""
+    from doppel_ray.stages import classifier as C
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = C.score_documents(ds, C.derived_weights(_CLF_DIM))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": batch["score"],
+                "keep": batch["keep"],
+            }
+        )
+
+    return finalize(
+        out.map_batches(project, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("score", pa.int64()),
+                ("keep", pa.bool_()),
+            ]
+        ),
+    )
 
 
 #: UT1-style source blocklist: every third source id. Built from one
