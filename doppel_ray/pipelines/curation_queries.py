@@ -50,6 +50,77 @@ def _pii_text(batch: pa.Table) -> pa.Array:
     return out
 
 
+@query(
+    "recrawl_latest",
+    """
+    WITH caps AS (
+      SELECT 'https://h' || (doc_id % 23) || '.example/p/' || doc_id AS url,
+             TIMESTAMP '2026-01-01'
+               + to_seconds((doc_id % 97) * 60 + k * 7) AS warc_ts,
+             doc_id * 4 + k AS capture_id
+      FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(k)
+    )
+    SELECT url, warc_ts, capture_id FROM caps
+    QUALIFY row_number() OVER (
+      PARTITION BY url ORDER BY warc_ts DESC, capture_id DESC
+    ) = 1
+    """,
+)
+def recrawl_latest(sf_dir: str):
+    """Recrawl capture versioning (the url+warc_ts shape of the
+    north-rule input): each page has 1-3 captures at distinct
+    timestamps; keep the newest per url. Per-batch argmax combiner +
+    ONE bucketed url shuffle of candidate rows (stages/diff.keep_latest
+    — shuffle bounded near output size, never the capture firehose)."""
+    import numpy as np
+
+    from doppel_ray.stages.diff import keep_latest
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def captures(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        counts = 1 + ids % 3
+        rep = np.repeat(ids, counts)
+        base = np.cumsum(counts) - counts
+        k = np.arange(counts.sum(), dtype="int64") - np.repeat(base, counts)
+        url = pc.binary_join_element_wise(
+            "https://h",
+            pa.array((rep % 23).astype(str), type=pa.string()),
+            ".example/p/",
+            pa.array(rep.astype(str), type=pa.string()),
+            "",
+        )
+        secs = (rep % 97) * 60 + k * 7
+        ts = np.datetime64("2026-01-01", "us") + secs.astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[us]")
+        return pa.table(
+            {
+                "url": pc.cast(url, pa.string()),
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                "capture_id": pa.array(rep * 4 + k, type=pa.int64()),
+            }
+        )
+
+    out = keep_latest(
+        ds.map_batches(captures, batch_format="pyarrow"),
+        key_col="url",
+        ts_col="warc_ts",
+        id_col="capture_id",
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("capture_id", pa.int64()),
+            ]
+        ),
+    )
+
+
 _CLF_DIM = 4096
 
 

@@ -104,3 +104,38 @@ def snapshot_diff(
         return out.filter(pc.not_equal(out["status"], "unchanged"))
 
     return bucketed_group_apply(union, "key", per_bucket, num_buckets=num_buckets)
+
+
+def keep_latest(
+    ds: Dataset,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Recrawl capture versioning: keep, per key, the row with the
+    greatest ``(ts_col, id_col)`` — the newest capture of each url,
+    with the id as a deterministic tie-break so results are
+    layout-invariant even when two captures share a timestamp.
+
+    Scale shape: a per-batch combiner first argmax-reduces each batch
+    to one candidate row per key it contains, so the ONE bucketed key
+    shuffle carries at most (distinct keys x blocks-touching-them)
+    candidate rows — bounded below by the output size and far below
+    the capture firehose when recrawls cluster in time (the common
+    layout). Per bucket, the same vectorized argmax resolves the
+    global winner. Equivalent SQL: ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY ts DESC, id DESC) = 1``.
+    """
+
+    def argmax_per_key(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values([ts_col, id_col], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(key_col, sort=False, as_index=False).tail(1),
+            schema=batch.schema,
+            preserve_index=False,
+        )
+
+    cand = ds.map_batches(argmax_per_key, batch_format="pyarrow")
+    return bucketed_group_apply(cand, key_col, argmax_per_key)
