@@ -218,6 +218,134 @@ def blocklist_filter(sf_dir: str):
 
 
 @query(
+    "curation_funnel",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             sum({weight_sql(f'(md5_number_upper(tok) % {_CLF_DIM})::BIGINT')})::BIGINT AS s
+      FROM toks GROUP BY doc_id
+    ),
+    pre AS (
+      SELECT d.doc_id, d.text,
+             CASE WHEN d.source IN (
+                    SELECT 'src' || (3 * x)
+                    FROM generate_series(0, {_BLOCK_N - 1}) t(x)
+                  ) THEN 'blocked'
+                  WHEN COALESCE(a.s, 0) < 0 THEN 'low_quality'
+             END AS p
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ),
+    surv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+                  THEN 'kept' ELSE 'duplicate' END AS st
+      FROM pre WHERE p IS NULL
+    )
+    SELECT pre.doc_id, COALESCE(pre.p, surv.st) AS status
+    FROM pre LEFT JOIN surv ON pre.doc_id = surv.doc_id
+    """,
+)
+def curation_funnel(sf_dir: str):
+    """The intake-funnel ledger a curation run publishes: every
+    document labeled blocked (source blocklist) -> low_quality
+    (hashed-linear classifier score < 0) -> duplicate (exact keep-first
+    among the docs REACHING the dedup gate, matching real funnel order)
+    -> kept. Gate order is load-bearing: blocked docs are never scored,
+    filtered docs never hash. Scale shape: streaming filters + the
+    classifier actor pool on survivors only, then ONE bucketed
+    content-hash shuffle of narrow (hash, id) pairs resolving
+    kept/duplicate via in-bucket window-min (the tiered_dedup idiom)."""
+    import numpy as np
+
+    from doppel_ray.stages import classifier as C
+    from doppel_ray.stages import hashes
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+    blocked_set = pa.array(
+        [f"src{3 * i}" for i in range(_BLOCK_N)], type=pa.string()
+    )
+    ledger_schema = pa.schema(
+        [("doc_id", pa.int64()), ("status", pa.string())]
+    )
+
+    def split_blocked(batch: pa.Table) -> pa.Table:
+        b = pc.fill_null(
+            pc.is_in(batch["source"], value_set=blocked_set), False
+        )
+        return batch.append_column("blocked", b)
+
+    lab = ds.map_batches(split_blocked, batch_format="pyarrow")
+
+    def blocked_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["blocked"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "status": pa.array(["blocked"] * len(t), type=pa.string()),
+            }
+        )
+
+    blocked = lab.map_batches(blocked_rows, batch_format="pyarrow")
+
+    rest = lab.map_batches(
+        lambda b: b.filter(pc.invert(b["blocked"])).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+    scored = C.score_documents(rest, C.derived_weights(_CLF_DIM))
+
+    def lowq_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(batch["keep"]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "status": pa.array(
+                    ["low_quality"] * len(t), type=pa.string()
+                ),
+            }
+        )
+
+    lowq = scored.map_batches(lowq_rows, batch_format="pyarrow")
+
+    surv = scored.map_batches(
+        lambda b: b.filter(b["keep"]).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    hashed = hashes.add_content_hash(surv, text_col="text").select_columns(
+        ["content_hash", "doc_id"]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        mn = df.groupby("content_hash")["doc_id"].transform("min")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy(), type=pa.int64()
+                ),
+                "status": pa.array(
+                    np.where(
+                        df["doc_id"].to_numpy() == mn.to_numpy(),
+                        "kept",
+                        "duplicate",
+                    ),
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    deduped = bucketed_group_apply(hashed, "content_hash", per_bucket)
+    out = blocked.union(lowq).union(deduped)
+    return finalize(out, ledger_schema)
+
+
+@query(
     "pii_redaction",
     f"""
     WITH v AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)

@@ -95,6 +95,7 @@ DUP_QUERIES = [
     "near_dup_pairs_exact",
     "dup_clusters",
     "fingerprint_dup_groups",
+    "curation_funnel",
 ]
 
 _DUP_GROUPS = [  # (source row, target rows) -> all share source's text
@@ -142,6 +143,12 @@ def test_dup_query_matches_oracle_nonvacuously(name, dup_con, dup_sf_dir):
     total_docs = dup_con.execute("SELECT count(*) FROM documents").fetchone()[0]
     if name == "dedup_keep_first":
         assert 0 < len(want) < total_docs
+    elif name == "curation_funnel":
+        # the ledger always has one row per doc; non-vacuity means the
+        # DUPLICATE tier is exercised by the injected groups
+        assert (want["status"] == "duplicate").sum() > 0, (
+            "curation_funnel: no duplicate-tier rows — vacuous"
+        )
     else:
         assert len(want) > 0, f"{name}: oracle returned no rows — vacuous"
     assert list(got.columns) == list(want.columns), name
