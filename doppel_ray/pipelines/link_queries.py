@@ -370,6 +370,76 @@ def anchor_texts(sf_dir: str):
     )
 
 
+_URL_SQL = (
+    "'https://www.s' || (doc_id % 7) || '.example" + "/d' || "
+    "repeat('/seg', doc_id % 4) || '/p' || doc_id || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/img' || doc_id || '.jpg' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=' || doc_id ELSE '' END"
+)
+
+def _feature_url(batch: pa.Table) -> pa.Array:
+    ids = _ids(batch)
+    d = _sa(ids)
+    seg = pa.array(
+        ["/seg" * int(k) for k in (ids % 4)], type=pa.string()
+    )
+    media = pc.if_else(
+        pa.array(ids % 5 == 0),
+        pc.binary_join_element_wise("/img", d, ".jpg", ""),
+        "",
+    )
+    qs = pc.if_else(
+        pa.array(ids % 3 == 0),
+        pc.binary_join_element_wise("?a=1&b=", d, ""),
+        "",
+    )
+    out = pc.binary_join_element_wise(
+        "https://www.s", _sa(ids % 7), ".example/d", seg, "/p", d,
+        media, qs, "",
+    )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _uf_sql() -> str:
+    f = L.url_features_sql("u")
+    return f"""
+    WITH v AS (SELECT doc_id, {_URL_SQL} AS u FROM documents)
+    SELECT doc_id, {f['depth']} AS depth, {f['n_params']} AS n_params,
+           {f['is_media']} AS is_media, {f['n_chars']} AS n_chars,
+           {f['tld']} AS tld
+    FROM v
+    """
+
+
+@query("url_features", _uf_sql())
+def url_features(sf_dir: str):
+    """Frontier-policy URL features (path depth, query-param count,
+    media-extension flag, length, TLD) — the cheap per-URL signals a
+    crawl scheduler and a quality filter cut on before fetching or
+    keeping a page. Pure vectorized RE2 map, zero shuffle; SQL twins
+    emitted from the same pattern constants."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _feature_url(batch)
+        feats = L.url_features(u)
+        return pa.table({"doc_id": batch["doc_id"], **feats})
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("depth", pa.int64()),
+                ("n_params", pa.int64()),
+                ("is_media", pa.bool_()),
+                ("n_chars", pa.int64()),
+                ("tld", pa.string()),
+            ]
+        ),
+    )
+
+
 #: frontier fixture: dst hosts ring on a LARGER modulus than src hosts,
 #: so residues _NH.._NHF-1 are discovered-but-never-crawled
 _NHF = 29

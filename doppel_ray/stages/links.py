@@ -237,6 +237,66 @@ def extract_links(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: URL-feature RE2 patterns (shared with :func:`url_features_sql`)
+PATH_SEG_RE = r"/[^/?#]"  #: one path segment start (depth = match count)
+QPARAM_RE = r"[?&][^=&#]+="  #: one query parameter
+MEDIA_EXT_RE = r"\.(?:jpg|jpeg|png|gif|webp|mp4|webm|mp3|pdf|zip)([?#]|$)"
+TLD_RE = r"^[a-z][a-z0-9+.-]*://[^/:?#]*\.([a-z]{2,})(?:[/:?#]|$)"
+
+
+def url_features(arr: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Frontier-policy URL features, all vectorized RE2 on the
+    canonical-cased URL: path ``depth``, query-parameter count
+    ``n_params``, ``is_media`` extension flag, url ``n_chars``, and the
+    ``tld``. The signals crawl schedulers and quality filters cut on
+    (deep calendar-trap paths, parameter explosions, media payloads)."""
+    a = pc.cast(arr, pa.string())
+    rest = pc.replace_substring_regex(a, pattern=AUTH_RE, replacement="")
+    path = pc.replace_substring_regex(
+        rest, pattern=r"[?#][\s\S]*$", replacement=""
+    )
+    tld = pc.struct_field(
+        pc.extract_regex(a, pattern=TLD_RE.replace("([a-z]", "(?P<t>[a-z]", 1)),
+        "t",
+    )
+    return {
+        "depth": _chunked(
+            pc.cast(pc.count_substring_regex(path, pattern=PATH_SEG_RE), pa.int64())
+        ),
+        "n_params": _chunked(
+            pc.cast(pc.count_substring_regex(a, pattern=QPARAM_RE), pa.int64())
+        ),
+        "is_media": _chunked(
+            pc.fill_null(pc.match_substring_regex(a, MEDIA_EXT_RE), False)
+        ),
+        "n_chars": _chunked(pc.cast(pc.utf8_length(a), pa.int64())),
+        "tld": _chunked(tld),
+    }
+
+
+def url_features_sql(col: str) -> dict[str, str]:
+    """DuckDB expressions for :func:`url_features` from the same
+    constants."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    path = (
+        f"regexp_replace(regexp_replace({col}, '{q(AUTH_RE)}', ''),"
+        f" '[?#][\\s\\S]*$', '')"
+    )
+    return {
+        "depth": f"len(regexp_extract_all({path}, '{q(PATH_SEG_RE)}'))::BIGINT",
+        "n_params": f"len(regexp_extract_all({col}, '{q(QPARAM_RE)}'))::BIGINT",
+        "is_media": f"regexp_matches({col}, '{q(MEDIA_EXT_RE)}')",
+        "n_chars": f"length({col})::BIGINT",
+        "tld": (
+            f"CASE WHEN regexp_matches({col}, '{q(TLD_RE)}') THEN "
+            f"regexp_extract({col}, '{q(TLD_RE)}', 1) ELSE NULL END"
+        ),
+    }
+
+
 #: anchor text of an ``href="…"`` fragment: skip the rest of the tag's
 #: attributes, take the text up to the next tag. RE2 on the SAME
 #: fragments `_extract_hrefs` scans, so hrefs and texts stay aligned.

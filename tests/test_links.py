@@ -212,3 +212,52 @@ class TestAnchorTexts:
             )
         )
         assert len(b) == 4 * len(a)
+
+
+class TestUrlFeatures:
+    def test_feature_table(self):
+        urls = pa.array(
+            [
+                "https://www.a.example/d/seg/p9?a=1&b=2",
+                "https://a.example",
+                "https://a.example/img.jpg?x=1",
+                "http://a.co/p.PDF",  # case-sensitive ext: not media
+                "not a url",
+                None,
+            ],
+            pa.string(),
+        )
+        f = L.url_features(urls)
+        assert f["depth"].to_pylist() == [3, 0, 1, 1, 0, None]
+        assert f["n_params"].to_pylist() == [2, 0, 1, 0, 0, None]
+        assert f["is_media"].to_pylist() == [
+            False, False, True, False, False, False,
+        ]
+        assert f["tld"].to_pylist() == [
+            "example", "example", "example", "co", None, None,
+        ]
+
+    def test_duckdb_parity(self):
+        import duckdb
+
+        urls = [
+            "https://www.a.example/d/seg/p9?a=1&b=2",
+            "https://a.example",
+            "https://a.example/img.jpg?x=1",
+            "http://a.co/deep/1/2/3/4.zip",
+            "not a url",
+        ]
+        f = L.url_features(pa.array(urls, pa.string()))
+        sql = L.url_features_sql("u")
+        want = duckdb.execute(
+            f"SELECT {sql['depth']}, {sql['n_params']}, {sql['is_media']},"
+            f" {sql['n_chars']}, {sql['tld']} FROM "
+            "(SELECT unnest(?::VARCHAR[]) AS u)",
+            [urls],
+        ).fetchall()
+        for i, row in enumerate(want):
+            assert f["depth"][i].as_py() == row[0]
+            assert f["n_params"][i].as_py() == row[1]
+            assert f["is_media"][i].as_py() == row[2]
+            assert f["n_chars"][i].as_py() == row[3]
+            assert f["tld"][i].as_py() == row[4]
