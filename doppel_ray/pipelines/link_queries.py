@@ -370,6 +370,95 @@ def anchor_texts(sf_dir: str):
     )
 
 
+@query(
+    "mirror_components",
+    f"""
+    WITH RECURSIVE ed AS (
+      SELECT (doc_id % {_NH}) AS s, ((doc_id * 7 + j) % {_NH}) AS d
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(j)
+    ),
+    re AS (
+      SELECT DISTINCT least(e1.s, e1.d) AS a, greatest(e1.s, e1.d) AS b
+      FROM ed e1
+      WHERE e1.s <> e1.d AND EXISTS (
+        SELECT 1 FROM ed e2 WHERE e2.s = e1.d AND e2.d = e1.s
+      )
+    ),
+    sym AS (SELECT a AS x, b AS y FROM re UNION SELECT b, a FROM re),
+    r(x, y) AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x
+    )
+    SELECT 'h' || x || '.example' AS host,
+           'h' || least(x, min(y)) || '.example' AS component
+    FROM r GROUP BY x
+    """,
+)
+def mirror_components(sf_dir: str):
+    """Mirror-site candidate sets: connected components over the
+    RECIPROCAL host links (a links b AND b links a — the cheap
+    structural mirror signal before content comparison). Reciprocity
+    resolves in one bucketed shuffle of unordered host pairs (bounded
+    by hosts^2); components run on the driver in the broadcast regime
+    (the host universe is tiny next to pages — same argument as
+    host_pagerank; stages/cluster.cluster_edges_distributed is the
+    documented scale path past the edge limit)."""
+    from doppel_ray.stages.cluster import cluster_edges
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    pages = ds.map_batches(_synth_pages, batch_format="pyarrow")
+    he = L.host_edges(L.extract_links(pages))
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        s, d = batch["src_host"], batch["dst_host"]
+        ne = pc.fill_null(pc.not_equal(s, d), False)
+        t = batch.filter(ne)
+        s, d = t["src_host"], t["dst_host"]
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        key = pc.binary_join_element_wise(lo, hi, "|")
+        fwd = pc.equal(s, lo)  # direction bit within the unordered pair
+        return pa.table({"key": key, "lo": lo, "hi": hi, "fwd": fwd})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        agg = df.groupby("key", sort=False).agg(
+            lo=("lo", "first"),
+            hi=("hi", "first"),
+            has_f=("fwd", "any"),
+            has_b=("fwd", lambda x: (~x).any()),
+        )
+        rec = agg[agg["has_f"] & agg["has_b"]]
+        return pa.table(
+            {
+                "url_a": pa.array(rec["lo"], type=pa.string()),
+                "url_b": pa.array(rec["hi"], type=pa.string()),
+            }
+        )
+
+    pairs = bucketed_group_apply(
+        he.map_batches(pair_key, batch_format="pyarrow"), "key", per_bucket
+    )
+    comp = cluster_edges(pairs)
+    import ray as _ray
+
+    out = _ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(sorted(comp), type=pa.string()),
+                "component": pa.array(
+                    [comp[h] for h in sorted(comp)], type=pa.string()
+                ),
+            }
+        )
+    )
+    return finalize(
+        out, pa.schema([("host", pa.string()), ("component", pa.string())])
+    )
+
+
 _URL_SQL = (
     "'https://www.s' || (doc_id % 7) || '.example" + "/d' || "
     "repeat('/seg', doc_id % 4) || '/p' || doc_id || "
