@@ -51,6 +51,56 @@ def _pii_text(batch: pa.Table) -> pa.Array:
 
 
 @query(
+    "source_reputation",
+    """
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS src_docs,
+             sum(n_chars)::BIGINT AS src_chars
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, s.src_docs, s.src_chars
+    FROM documents d JOIN s ON d.source = s.source
+    """,
+)
+def source_reputation(sf_dir: str):
+    """Domain-reputation features joined back onto every document (the
+    FineWeb-style pattern: per-domain statistics feed per-doc filter
+    decisions). Aggregate-then-broadcast: ONE narrow (source) groupby
+    produces the dimension-sized stats table, ray.put broadcasts it
+    once, and the corpus streams through a map-side lookup join
+    (stages/joins.broadcast_join) — zero corpus-scale shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    from doppel_ray.stages.joins import broadcast_join
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+    stats = (
+        ds.groupby("source")
+        .aggregate(
+            Count(alias_name="src_docs"),
+            Sum("n_chars", alias_name="src_chars"),
+        )
+    )
+    out = broadcast_join(
+        ds.select_columns(["doc_id", "source"]),
+        stats,
+        on="source",
+        small_cols=["src_docs", "src_chars"],
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("src_docs", pa.int64()),
+                ("src_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "recrawl_latest",
     """
     WITH caps AS (
