@@ -50,6 +50,65 @@ def _pii_text(batch: pa.Table) -> pa.Array:
     return out
 
 
+#: feature-hash bucket count for the fixture classifier weights
+_CLF_DIM = 4096
+
+#: soft-sampling hash denominator (keep probability = score / _SOFT_DEN,
+#: clamped to [0, 1] — md5-hash thresholding, no RNG)
+_SOFT_DEN = 400
+
+
+@query(
+    "soft_quality_sample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             sum({weight_sql(f'(md5_number_upper(tok) % {_CLF_DIM})::BIGINT')})::BIGINT AS s
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.s, 0)::BIGINT AS score
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % {_SOFT_DEN}
+          < greatest(least(COALESCE(a.s, 0), {_SOFT_DEN}), 0)
+    """,
+)
+def soft_quality_sample(sf_dir: str):
+    """Quality-proportional soft sampling (the FineWeb-Edu-style
+    alternative to a hard threshold): each document is kept with
+    probability score/DEN via deterministic md5-hash thresholding — no
+    RNG, so the sample is identical at any layout, cluster size, or
+    re-run, and nests structurally under rate changes (the
+    hash_sample property). Classifier actor pool + one vectorized
+    compare per batch; zero shuffles."""
+    import numpy as np
+
+    from doppel_ray.functions.text import md5_token_hash64
+    from doppel_ray.stages import classifier as C
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    scored = C.score_documents(ds, C.derived_weights(_CLF_DIM))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        h = md5_token_hash64(ids.astype(str).astype(object)) % np.uint64(
+            _SOFT_DEN
+        )
+        s = batch["score"].to_numpy(zero_copy_only=False).astype("int64")
+        thr = np.clip(s, 0, _SOFT_DEN)
+        keep = pa.array(h.astype(np.int64) < thr)
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t["doc_id"], "score": t["score"]})
+
+    return finalize(
+        scored.map_batches(pick, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("score", pa.int64())]),
+    )
+
+
 @query(
     "source_reputation",
     """
@@ -169,9 +228,6 @@ def recrawl_latest(sf_dir: str):
             ]
         ),
     )
-
-
-_CLF_DIM = 4096
 
 
 @query(
