@@ -50,6 +50,77 @@ def _pii_text(batch: pa.Table) -> pa.Array:
     return out
 
 
+@query(
+    "dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT source, count(*) OVER (PARTITION BY text) AS c
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+    FROM h GROUP BY source
+    """,
+)
+def dup_rate_by_source(sf_dir: str):
+    """Duplication diagnostic per source (which domains flood the
+    corpus with copies — the report a curation run uses to re-weight or
+    blocklist): per source, total docs and docs whose exact text occurs
+    more than once corpus-wide. Narrow (content_hash, source) pairs,
+    ONE bucketed hash shuffle (dup flags resolve in-bucket since equal
+    hashes co-locate), per-bucket partial (source, n, n_dup) counts,
+    then a dimension-sized source groupby. Payloads never shuffle."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from doppel_ray.stages import hashes
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    ds = read_documents(sf_dir, columns=["source", "text"])
+    keyed = hashes.add_content_hash(ds, text_col="text").select_columns(
+        ["content_hash", "source"]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        dup = df.groupby("content_hash")["source"].transform("size") > 1
+        out = (
+            df.assign(is_dup=dup.to_numpy().astype("int64"))
+            .groupby("source", sort=False)
+            .agg(n_docs=("is_dup", "size"), n_dup_docs=("is_dup", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(out["source"], type=pa.string()),
+                "n_docs": pa.array(
+                    out["n_docs"].to_numpy().astype("int64"), type=pa.int64()
+                ),
+                "n_dup_docs": pa.array(
+                    out["n_dup_docs"].to_numpy().astype("int64"),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    partials = bucketed_group_apply(keyed, "content_hash", per_bucket)
+    out = partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_dup_docs", alias_name="n_dup_docs"),
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("n_dup_docs", pa.int64()),
+            ]
+        ),
+    )
+
+
 #: feature-hash bucket count for the fixture classifier weights
 _CLF_DIM = 4096
 

@@ -96,6 +96,7 @@ DUP_QUERIES = [
     "dup_clusters",
     "fingerprint_dup_groups",
     "curation_funnel",
+    "dup_rate_by_source",
 ]
 
 _DUP_GROUPS = [  # (source row, target rows) -> all share source's text
@@ -143,6 +144,10 @@ def test_dup_query_matches_oracle_nonvacuously(name, dup_con, dup_sf_dir):
     total_docs = dup_con.execute("SELECT count(*) FROM documents").fetchone()[0]
     if name == "dedup_keep_first":
         assert 0 < len(want) < total_docs
+    elif name == "dup_rate_by_source":
+        assert want["n_dup_docs"].sum() > 0, (
+            "dup_rate_by_source: no duplicated docs — vacuous"
+        )
     elif name == "curation_funnel":
         # the ledger always has one row per doc; non-vacuity means the
         # DUPLICATE tier is exercised by the injected groups
