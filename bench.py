@@ -243,6 +243,30 @@ def _query_specs(limit: int | None = None) -> dict:
         idx_ds = ds.map_batches(side(0), batch_format="pyarrow")
         return incremental.dedup_against_index(new_ds, idx_ds).count()
 
+    def q_funnel_pages():
+        # the wave-3 intake funnel over the pages corpus: policy gate =
+        # deterministic url-hash blocklist (~6%), quality gate = hashed
+        # linear classifier (actor pool, broadcast weights), dedup gate
+        # = exact keep-first among survivors
+        import numpy as np
+        import pyarrow as pa
+
+        from doppel_ray.functions.hashing import sip64
+        from doppel_ray.stages import classifier as clf
+        from doppel_ray.stages.curation import funnel_ledger
+
+        def add_cols(batch):
+            ids = sip64(batch["url"].to_pandas()).astype(np.int64)
+            batch = batch.append_column("doc_id", pa.array(ids))
+            return batch.append_column(
+                "blocked", pa.array((ids & 15) == 0)
+            )
+
+        ds = read_pages(bench_dir).map_batches(
+            add_cols, batch_format="pyarrow"
+        )
+        return funnel_ledger(ds, clf.derived_weights(4096)).count()
+
     def q_tiered_pages():
         # the namesake ledger over the full pages corpus: url -> int64
         # id via sip64 (the incremental leg's idiom; "first" becomes
@@ -271,6 +295,7 @@ def _query_specs(limit: int | None = None) -> dict:
                 "decontam_pages": q_decontam_pages,
                 "incremental_pages": q_incremental_pages,
                 "tiered_pages": q_tiered_pages,
+                "funnel_pages": q_funnel_pages,
             }
         )
     else:

@@ -435,19 +435,13 @@ def curation_funnel(sf_dir: str):
     filtered docs never hash. Scale shape: streaming filters + the
     classifier actor pool on survivors only, then ONE bucketed
     content-hash shuffle of narrow (hash, id) pairs resolving
-    kept/duplicate via in-bucket window-min (the tiered_dedup idiom)."""
-    import numpy as np
-
+    kept/duplicate via in-bucket window-min (stages/curation.py)."""
     from doppel_ray.stages import classifier as C
-    from doppel_ray.stages import hashes
-    from doppel_ray.stages.exact import bucketed_group_apply
+    from doppel_ray.stages.curation import LEDGER_SCHEMA, funnel_ledger
 
     ds = read_documents(sf_dir, columns=["doc_id", "source", "text"])
     blocked_set = pa.array(
         [f"src{3 * i}" for i in range(_BLOCK_N)], type=pa.string()
-    )
-    ledger_schema = pa.schema(
-        [("doc_id", pa.int64()), ("status", pa.string())]
     )
 
     def split_blocked(batch: pa.Table) -> pa.Table:
@@ -457,69 +451,8 @@ def curation_funnel(sf_dir: str):
         return batch.append_column("blocked", b)
 
     lab = ds.map_batches(split_blocked, batch_format="pyarrow")
-
-    def blocked_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(batch["blocked"])
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "status": pa.array(["blocked"] * len(t), type=pa.string()),
-            }
-        )
-
-    blocked = lab.map_batches(blocked_rows, batch_format="pyarrow")
-
-    rest = lab.map_batches(
-        lambda b: b.filter(pc.invert(b["blocked"])).select(
-            ["doc_id", "text"]
-        ),
-        batch_format="pyarrow",
-    )
-    scored = C.score_documents(rest, C.derived_weights(_CLF_DIM))
-
-    def lowq_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.invert(batch["keep"]))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "status": pa.array(
-                    ["low_quality"] * len(t), type=pa.string()
-                ),
-            }
-        )
-
-    lowq = scored.map_batches(lowq_rows, batch_format="pyarrow")
-
-    surv = scored.map_batches(
-        lambda b: b.filter(b["keep"]).select(["doc_id", "text"]),
-        batch_format="pyarrow",
-    )
-    hashed = hashes.add_content_hash(surv, text_col="text").select_columns(
-        ["content_hash", "doc_id"]
-    )
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        mn = df.groupby("content_hash")["doc_id"].transform("min")
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    df["doc_id"].to_numpy(), type=pa.int64()
-                ),
-                "status": pa.array(
-                    np.where(
-                        df["doc_id"].to_numpy() == mn.to_numpy(),
-                        "kept",
-                        "duplicate",
-                    ),
-                    type=pa.string(),
-                ),
-            }
-        )
-
-    deduped = bucketed_group_apply(hashed, "content_hash", per_bucket)
-    out = blocked.union(lowq).union(deduped)
-    return finalize(out, ledger_schema)
+    out = funnel_ledger(lab, C.derived_weights(_CLF_DIM))
+    return finalize(out, LEDGER_SCHEMA)
 
 
 @query(
