@@ -442,6 +442,7 @@ def _query_specs_names() -> list[str]:
             "decontam_pages",
             "incremental_pages",
             "tiered_pages",
+            "funnel_pages",
         ]
     else:
         names += ["simhash_pages", "decontam_pages"]
