@@ -309,6 +309,66 @@ def embedding_near_dup(sf_dir: str):
     )
 
 
+@query(
+    "top_similar_pairs",
+    """
+    WITH sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             floor(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000
+             )::BIGINT AS sim_q
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    )
+    SELECT id_a, id_b, sim_q FROM sims
+    ORDER BY sim_q DESC, id_a, id_b LIMIT 10
+    """,
+)
+def top_similar_pairs(sf_dir: str):
+    """Global top-10 most-similar embedding pairs (the 'what should I
+    eyeball first' audit after a near-dup run): LSH-candidate + exact
+    float64 verify edges, similarity quantized to floored micro-units
+    (the repo's cross-engine float contract), then the block-pruned
+    global top-k — shuffle volume k x blocks, never the pair stream.
+    Total order (sim_q DESC, id_a, id_b) makes the cut deterministic."""
+    import numpy as np
+
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages import ann
+    from doppel_ray.stages.rank import global_topk
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    edges = ann.embedding_near_dup_edges(
+        ds, ann.CosineLSHConfig(threshold=0.45)
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        s = batch["similarity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "sim_q": pa.array(
+                    np.floor(s * 1e6).astype("int64"), type=pa.int64()
+                ),
+            }
+        )
+
+    top = global_topk(
+        edges.map_batches(quantize, batch_format="pyarrow"),
+        ["sim_q", "id_a", "id_b"],
+        ascending=[False, True, True],
+        k=10,
+    )
+    return finalize(
+        top,
+        pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim_q", pa.int64())]
+        ),
+    )
+
+
 #: per-query recall@k floor the ivf_topk query ASSERTS against its own
 #: brute-force baseline (mean across queries). The synthetic embeddings
 #: are near-uniform on the sphere — the worst case for cell pruning —
