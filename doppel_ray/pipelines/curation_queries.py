@@ -51,6 +51,69 @@ def _pii_text(batch: pa.Table) -> pa.Array:
 
 
 @query(
+    "warc_ingest",
+    """
+    SELECT 'https://h' || (doc_id % 23) || '.example/p/' || doc_id AS url,
+           TIMESTAMP '2026-01-01' + to_seconds((doc_id % 97) * 60) AS warc_ts,
+           strlen(text)::BIGINT AS n_bytes
+    FROM documents
+    """,
+)
+def warc_ingest(sf_dir: str):
+    """WARC ingestion roundtrip (Common Crawl's wire format): documents
+    are serialized into spec-shaped WARC response records (plus a
+    warcinfo decoy the parser must skip), concatenated into one segment
+    buffer per batch, and re-parsed by sources/warc.py — url, WARC-Date
+    timestamp, and payload byte length must survive byte-exactly. The
+    parallelism unit is the segment file, matching how Common Crawl
+    ships ~1 GB WARCs by the thousand."""
+    from doppel_ray.sources.warc import build_warc_record, records_table
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        from datetime import datetime, timedelta
+
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        base = datetime(2026, 1, 1)
+        parts = [
+            build_warc_record("ignore:warcinfo", "2026-01-01T00:00:00Z",
+                              b"segment header", warc_type="warcinfo")
+        ]
+        for i, txt in zip(ids, texts):
+            ts = base + timedelta(seconds=(i % 97) * 60)
+            parts.append(
+                build_warc_record(
+                    f"https://h{i % 23}.example/p/{i}",
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    (txt or "").encode(),
+                )
+            )
+        t = records_table([b"".join(parts)])
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "n_bytes": pc.cast(
+                    pc.binary_length(t["payload"]), pa.int64()
+                ),
+            }
+        )
+
+    return finalize(
+        ds.map_batches(roundtrip, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("n_bytes", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "dup_rate_by_source",
     """
     WITH h AS (
