@@ -459,6 +459,53 @@ def mirror_components(sf_dir: str):
     )
 
 
+@query(
+    "robots_allowed",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             'https://www.s' || (doc_id % 7) || '.example/d' ||
+             repeat('/seg', doc_id % 4) || '/p' || doc_id AS url
+      FROM documents
+    )
+    SELECT doc_id, url FROM v
+    WHERE NOT ((doc_id % 7) % 2 = 0 AND doc_id % 4 >= 1)
+    """,
+)
+def robots_allowed(sf_dir: str):
+    """Crawl-politeness filtering: per-host robots.txt bodies (even
+    hosts disallow '/d/seg', odd hosts publish an empty Disallow) are
+    parsed by the real RFC 9309-subset parser into a host->prefix rule
+    table, broadcast, and applied as vectorized per-host path-prefix
+    drops. The rule table is bounded by the host universe — the policy
+    artifact regime, never corpus-scale. Zero shuffles."""
+    from doppel_ray.stages.robots import parse_robots, robots_filter
+
+    rules = {}
+    for k in range(7):
+        body = (
+            "# synthetic policy\nUser-agent: *\n"
+            + ("Disallow: /d/seg\n" if k % 2 == 0 else "Disallow:\n")
+        )
+        rules[f"www.s{k}.example"] = parse_robots(body)
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def urls(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        seg = pa.array(["/seg" * int(k) for k in (ids % 4)], type=pa.string())
+        u = pc.binary_join_element_wise(
+            "https://www.s", _sa(ids % 7), ".example/d", seg, "/p",
+            _sa(ids), "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "url": pc.cast(u, pa.string())})
+
+    out = robots_filter(ds.map_batches(urls, batch_format="pyarrow"), rules)
+    return finalize(
+        out, pa.schema([("doc_id", pa.int64()), ("url", pa.string())])
+    )
+
+
 _URL_SQL = (
     "'https://www.s' || (doc_id % 7) || '.example" + "/d' || "
     "repeat('/seg', doc_id % 4) || '/p' || doc_id || "
