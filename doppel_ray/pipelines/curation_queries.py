@@ -51,6 +51,53 @@ def _pii_text(batch: pa.Table) -> pa.Array:
 
 
 @query(
+    "encoding_profile",
+    r"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           strlen(text)::BIGINT AS n_bytes,
+           len(regexp_extract_all(text, '[^\x00-\x7F]'))::BIGINT
+             AS n_nonascii
+    FROM documents
+    """,
+)
+def encoding_profile(sf_dir: str):
+    """Charset audit (the mojibake/encoding screen a web corpus runs
+    before trusting `text`): per document, codepoint count, UTF-8 byte
+    count, and non-ASCII codepoint count — bytes >> chars or a high
+    non-ASCII share on a claimed-English source flags transcoding bugs.
+    Three Arrow kernels per batch, zero shuffles; the RE2 class and
+    byte/char length functions agree across both engines."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(t), pa.int64()),
+                "n_nonascii": pc.cast(
+                    pc.count_substring_regex(t, pattern=r"[^\x00-\x7F]"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return finalize(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_bytes", pa.int64()),
+                ("n_nonascii", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "warc_ingest",
     """
     SELECT 'https://h' || (doc_id % 23) || '.example/p/' || doc_id AS url,
