@@ -460,6 +460,46 @@ def mirror_components(sf_dir: str):
 
 
 @query(
+    "sitemap_urls",
+    """
+    SELECT 'https://s' || (doc_id % 7) || '.example/a/' || doc_id AS url,
+           '2026-01-0' || (1 + doc_id % 9) AS lastmod
+    FROM documents
+    UNION ALL
+    SELECT 'https://s' || (doc_id % 7) || '.example/b/' || doc_id,
+           NULL
+    FROM documents
+    """,
+)
+def sitemap_urls(sf_dir: str):
+    """Sitemap seed discovery: urlset XML per source (one loc with a
+    lastmod, one without, an unterminated loc decoy, messy-cased
+    authority + fragment on the first) parsed by the vectorized
+    extractor; canonicalization collapses the mess. Zero shuffles —
+    the crawler-bootstrap companion to extract_links."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        d = _sa(ids)
+        k = _sa(ids % 7)
+        xml = pc.binary_join_element_wise(
+            "<urlset>\n<url><loc>HTTPS://S", k, ".Example/a/", d,
+            "#frag</loc><lastmod>2026-01-0", _sa(1 + ids % 9),
+            "</lastmod></url>\n<url><loc>https://s", k, ".example/b/",
+            d, "</loc></url>\n<loc>unterminated\n</urlset>", "",
+        )
+        return pa.table({"xml": pc.cast(xml, pa.large_string())})
+
+    out = L.extract_sitemap_urls(
+        ds.map_batches(synth, batch_format="pyarrow")
+    )
+    return finalize(
+        out, pa.schema([("url", pa.string()), ("lastmod", pa.string())])
+    )
+
+
+@query(
     "robots_allowed",
     """
     WITH v AS (

@@ -297,6 +297,69 @@ def url_features_sql(col: str) -> dict[str, str]:
     }
 
 
+def extract_sitemap_urls(
+    ds: Dataset,
+    *,
+    xml_col: str = "xml",
+    canonicalize: bool = True,
+) -> Dataset:
+    """Sitemap (sitemaps.org urlset XML) -> one ``loc`` URL per row,
+    with the optional sibling ``<lastmod>`` date string when present in
+    the same ``<url>`` element. The seed-discovery companion to
+    :func:`extract_links`: crawlers bootstrap frontiers from sitemaps
+    before any page is fetched.
+
+    Same zero-shuffle row-expansion shape as href extraction: split on
+    the ``<loc>`` open tag, one RE2 pass recovers the loc value and the
+    lastmod that follows before the element closes (missing lastmod ->
+    null). An unterminated ``<loc>`` is dropped exactly as RE2 would
+    drop it.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # unconditional cast: handles binary payloads AND the null-typed
+        # column an all-None block materializes as
+        xml = pc.cast(_chunked(batch[xml_col]), pa.large_string())
+        xml = pc.fill_null(xml, "")
+        frags = _chunked(pc.split_pattern(xml, "<loc>"))
+        offs = frags.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        pos = np.arange(int(offs[-1] - offs[0]), dtype=np.int64) - np.repeat(
+            offs[:-1] - offs[0], counts
+        )
+        keep = pos > 0
+        cand = pc.take(
+            frags.values,
+            pa.array(np.nonzero(keep)[0] + offs[0], type=pa.int64()),
+        )
+        url = pc.struct_field(
+            pc.extract_regex(cand, pattern=r"^(?P<u>[^<]*)</loc>"), "u"
+        )
+        # lastmod scope = this <url> element: truncate the fragment at
+        # its closing tag, then extract (RE2 has no lookahead)
+        head = pc.replace_substring_regex(
+            cand, pattern=r"(?s)</url>[\s\S]*$", replacement=""
+        )
+        lastmod = pc.struct_field(
+            pc.extract_regex(
+                head, pattern=r"(?s)<lastmod>(?P<m>[^<]*)</lastmod>"
+            ),
+            "m",
+        )
+        ok = pc.is_valid(url)
+        url, lastmod = url.filter(ok), lastmod.filter(ok)
+        if canonicalize:
+            url = canonicalize_urls(url)
+        return pa.table(
+            {
+                "url": pc.cast(url, pa.string()),
+                "lastmod": pc.cast(lastmod, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 #: anchor text of an ``href="…"`` fragment: skip the rest of the tag's
 #: attributes, take the text up to the next tag. RE2 on the SAME
 #: fragments `_extract_hrefs` scans, so hrefs and texts stay aligned.

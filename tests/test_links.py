@@ -261,3 +261,43 @@ class TestUrlFeatures:
             assert f["is_media"][i].as_py() == row[2]
             assert f["n_chars"][i].as_py() == row[3]
             assert f["tld"][i].as_py() == row[4]
+
+
+class TestSitemapUrls:
+    XML = [
+        "<urlset><url><loc>https://a.example/1</loc>"
+        "<lastmod>2026-02-03</lastmod></url>"
+        "<url><loc>https://a.example/2</loc></url></urlset>",
+        "<urlset><url><loc>HTTP://B.Example/x/#f</loc></url></urlset>",
+        "no sitemap content",
+        None,
+        "<urlset><loc>unterminated",
+        # lastmod belongs to the NEXT element, not this loc
+        "<url><loc>https://c.example/3</loc></url>"
+        "<url><loc>https://c.example/4</loc>"
+        "<lastmod>2026-05-06</lastmod></url>",
+    ]
+
+    def _ds(self):
+        return rd.from_items([{"xml": x} for x in self.XML])
+
+    def test_extraction(self, ray_session):
+        got = {
+            (r["url"], r["lastmod"])
+            for r in L.extract_sitemap_urls(self._ds()).take_all()
+        }
+        assert got == {
+            ("https://a.example/1", "2026-02-03"),
+            ("https://a.example/2", None),
+            ("http://b.example/x", None),  # canonicalized, frag gone
+            ("https://c.example/3", None),  # next element's lastmod NOT taken
+            ("https://c.example/4", "2026-05-06"),
+        }
+
+    def test_layout_invariant(self, ray_session):
+        base = sorted(
+            map(str, L.extract_sitemap_urls(self._ds()).take_all())
+        )
+        many = rd.from_items([{"xml": x} for x in self.XML * 5]).repartition(7)
+        got = sorted(map(str, L.extract_sitemap_urls(many).take_all()))
+        assert len(got) == 5 * len(base)
