@@ -161,6 +161,91 @@ def warc_ingest(sf_dir: str):
 
 
 @query(
+    "warc_http_stats",
+    """
+    WITH r AS (
+      SELECT CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS status,
+             CASE WHEN doc_id % 7 = 0 THEN 'image/png'
+                  ELSE 'text/html' END AS content_type,
+             strlen(text)::BIGINT AS nb
+      FROM documents
+    )
+    SELECT status, content_type, count(*)::BIGINT AS n_records,
+           sum(nb)::BIGINT AS body_bytes
+    FROM r GROUP BY 1, 2
+    """,
+)
+def warc_http_stats(sf_dir: str):
+    """Fetch-status rollup over a crawl segment (the first report run
+    on a new crawl drop): WARC response payloads carry real HTTP
+    responses (status line, Content-Type, body); the chain WARC split
+    -> HTTP parse -> narrow (status, content_type) groupby counts
+    records and body bytes per class. Record-granular parsing at file
+    granularity, one dimension-sized shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    from doppel_ray.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        decode_http,
+        records_table,
+    )
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def segments(batch: pa.Table) -> pa.Table:
+        parts = []
+        for i, txt in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = (txt or "").encode()
+            status = 404 if i % 10 == 0 else 200
+            ctype = "image/png" if i % 7 == 0 else "text/html"
+            http = build_http_response(
+                status, ctype, body, reason="OK" if status == 200 else "NF"
+            )
+            parts.append(
+                build_warc_record(
+                    f"https://h{i % 23}.example/p/{i}",
+                    "2026-01-01T00:00:00Z",
+                    http,
+                )
+            )
+        return records_table([b"".join(parts)])
+
+    recs = decode_http(ds.map_batches(segments, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": batch["status"],
+                "content_type": batch["content_type"],
+                "nb": pc.cast(pc.binary_length(batch["body"]), pa.int64()),
+            }
+        )
+
+    out = (
+        recs.map_batches(project, batch_format="pyarrow")
+        .groupby(["status", "content_type"])
+        .aggregate(
+            Count(alias_name="n_records"),
+            Sum("nb", alias_name="body_bytes"),
+        )
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("status", pa.int64()),
+                ("content_type", pa.string()),
+                ("n_records", pa.int64()),
+                ("body_bytes", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "dup_rate_by_source",
     """
     WITH h AS (

@@ -83,6 +83,72 @@ def parse_warc(buf: bytes) -> list[dict]:
     return out
 
 
+def build_http_response(
+    status: int, content_type: str, body: bytes, reason: str = "OK"
+) -> bytes:
+    """Spec-shaped HTTP/1.1 response bytes (the WARC response payload
+    Common Crawl actually stores — test/synth twin of the parser)."""
+    head = "\r\n".join(
+        [
+            f"HTTP/1.1 {status} {reason}",
+            f"Content-Type: {content_type}",
+            f"Content-Length: {len(body)}",
+        ]
+    ).encode()
+    return head + _SEP + body
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """HTTP response bytes -> {status, content_type, body}. A payload
+    with no HTTP status line (raw resource records) comes back with
+    status 0, empty content_type, body = whole payload — degrade, don't
+    drop: the bytes are still the document."""
+    if not payload.startswith(b"HTTP/"):
+        return {"status": 0, "content_type": "", "body": payload}
+    hdr_end = payload.find(_SEP)
+    if hdr_end < 0:
+        return {"status": 0, "content_type": "", "body": payload}
+    lines = payload[:hdr_end].decode(errors="replace").split("\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return {"status": 0, "content_type": "", "body": payload}
+    ctype = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip().split(";")[0].strip().lower()
+    return {
+        "status": status,
+        "content_type": ctype,
+        "body": payload[hdr_end + len(_SEP):],
+    }
+
+
+def decode_http(ds, *, payload_col: str = "payload"):
+    """Dataset(… payload …) -> adds status/content_type/body columns by
+    parsing each WARC payload as an HTTP response (record-granular by
+    nature, same argument as parse_warc)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parsed = [
+            parse_http_response(b.as_py()) for b in batch[payload_col]
+        ]
+        cols = {n: batch[n] for n in batch.column_names}
+        cols["status"] = pa.array(
+            [p["status"] for p in parsed], type=pa.int64()
+        )
+        cols["content_type"] = pa.array(
+            [p["content_type"] for p in parsed], type=pa.string()
+        )
+        cols["body"] = pa.array(
+            [p["body"] for p in parsed], type=pa.large_binary()
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def records_table(bufs: list[bytes]) -> pa.Table:
     """Parse a list of WARC buffers to one Arrow table (the flat_map
     body — kept separate so tests hit it without Ray)."""

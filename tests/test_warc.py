@@ -66,3 +66,44 @@ class TestReadWarc:
         assert len(rows) == 12
         assert {len(r["payload"]) for r in rows} == {0, 1, 2, 3}
         assert all(r["url"].startswith("https://h") for r in rows)
+
+
+class TestHttp:
+    def test_roundtrip(self):
+        http = warc.build_http_response(200, "text/html", b"<p>x</p>")
+        p = warc.parse_http_response(http)
+        assert p["status"] == 200
+        assert p["content_type"] == "text/html"
+        assert p["body"] == b"<p>x</p>"
+
+    def test_charset_param_stripped(self):
+        http = warc.build_http_response(
+            200, "text/html; charset=UTF-8", b"x"
+        )
+        assert warc.parse_http_response(http)["content_type"] == "text/html"
+
+    def test_non_http_payload_degrades(self):
+        p = warc.parse_http_response(b"raw resource bytes")
+        assert p["status"] == 0 and p["body"] == b"raw resource bytes"
+
+    def test_body_may_contain_separator(self):
+        body = b"a\r\n\r\nb"
+        http = warc.build_http_response(200, "text/plain", body)
+        assert warc.parse_http_response(http)["body"] == body
+
+    def test_decode_http_dataset(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        payloads = [
+            warc.build_http_response(404, "text/html", b"gone"),
+            b"not http",
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"payload": pa.array(payloads, type=pa.large_binary())})
+        )
+        rows = sorted(
+            warc.decode_http(ds).take_all(), key=lambda r: r["status"]
+        )
+        assert rows[0]["status"] == 0 and rows[0]["body"] == b"not http"
+        assert rows[1]["status"] == 404 and rows[1]["body"] == b"gone"
