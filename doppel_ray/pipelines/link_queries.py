@@ -460,6 +460,67 @@ def mirror_components(sf_dir: str):
 
 
 @query(
+    "page_metadata",
+    """
+    SELECT 'https://h' || (doc_id % 23) || '.example/p/' || doc_id AS url,
+           'Title ' || (doc_id % 11) AS title,
+           CASE WHEN doc_id % 3 = 0 THEN 'Head ' || doc_id END AS h1,
+           CASE WHEN doc_id % 4 = 0 THEN 'Desc ' || (doc_id % 5) END
+             AS description
+    FROM documents
+    """,
+)
+def page_metadata(sf_dir: str):
+    """Crawl-index metadata sidecar: title / first h1 / meta
+    description per page, extracted from synthesized HTML (some pages
+    lack h1 or description, a second decoy title must lose to the
+    first). Three vectorized RE2 passes, zero shuffles."""
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        d = _sa(ids)
+        j = pc.binary_join_element_wise
+        h1 = pc.if_else(
+            pa.array(ids % 3 == 0),
+            j("<h1>Head ", d, "</h1>", ""),
+            "",
+        )
+        desc = pc.if_else(
+            pa.array(ids % 4 == 0),
+            j('<meta name="description" content="Desc ', _sa(ids % 5), '">', ""),
+            "",
+        )
+        html = j(
+            "<html><head><title>Title ", _sa(ids % 11), "</title>", desc,
+            "</head><body>", h1, "<p>body</p><title>decoy</title>",
+            "</body></html>", "",
+        )
+        url = j("https://h", _sa(ids % 23), ".example/p/", d, "")
+        return pa.table(
+            {
+                "url": pc.cast(url, pa.string()),
+                "html": pc.cast(html, pa.large_binary()),
+            }
+        )
+
+    out = L.extract_page_metadata(
+        ds.map_batches(synth, batch_format="pyarrow")
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("title", pa.string()),
+                ("h1", pa.string()),
+                ("description", pa.string()),
+            ]
+        ),
+    )
+
+
+@query(
     "sitemap_urls",
     """
     SELECT 'https://s' || (doc_id % 7) || '.example/a/' || doc_id AS url,

@@ -297,6 +297,49 @@ def url_features_sql(col: str) -> dict[str, str]:
     }
 
 
+#: page-metadata RE2 patterns (named groups; shared with the oracle
+#: emitters in pipelines/link_queries.py by construction in fixtures)
+TITLE_RE = r"(?s)<title>(?P<v>[^<]*)</title>"
+H1_RE = r"(?s)<h1>(?P<v>[^<]*)</h1>"
+META_DESC_RE = r'<meta name="description" content="(?P<v>[^"]*)"'
+
+
+def extract_page_metadata(
+    ds: Dataset,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> Dataset:
+    """HTML -> (url, title, h1, description): the metadata sidecar a
+    crawl index stores next to extracted text (titles feed retrieval
+    and dedup tie-breaks, descriptions feed snippets). First occurrence
+    of each tag wins (RE2 leftmost match); missing tags are null. Three
+    vectorized extract_regex passes, zero shuffles."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        html = pc.cast(_chunked(batch[html_col]), pa.large_string())
+        html = pc.fill_null(html, "")
+
+        def grab(pat: str) -> pa.Array:
+            return _chunked(
+                pc.cast(
+                    pc.struct_field(pc.extract_regex(html, pattern=pat), "v"),
+                    pa.string(),
+                )
+            )
+
+        return pa.table(
+            {
+                "url": pc.cast(batch[url_col], pa.string()),
+                "title": grab(TITLE_RE),
+                "h1": grab(H1_RE),
+                "description": grab(META_DESC_RE),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def extract_sitemap_urls(
     ds: Dataset,
     *,
