@@ -4,6 +4,14 @@ SSN-style ids → placeholder tokens, per-class hit counts for audit).
 The reference (doppel) has no text-rewriting layer; this extends the
 engine along the curation axis the north rule's web-page corpus needs.
 
+Relationship to ``functions.analysis.PII_RULES`` (the earlier
+email/phone/IP mask behind the ``pii_masked`` query): this module is
+the full-featured successor — it adds the SSN-style ``<ID>`` class,
+per-class audit counts in one call, and the ``*_sql()`` emitters that
+derive the DuckDB oracle from the SAME constants. The analysis-suite
+rules stay as-is because their patterns are shared verbatim with other
+analysis oracles; new call sites should use this module.
+
 Cross-engine contract
 ---------------------
 Exactly the links.py pattern: every transform is a fixed chain of RE2
