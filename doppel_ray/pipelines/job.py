@@ -160,3 +160,96 @@ def run_dedup_job(
         resumed_stages=resumed,
         computed_stages=computed,
     )
+
+
+@dataclass
+class CurationJobResult:
+    ledger: Dataset
+    status_counts: Dataset
+    ctx: CheckpointContext
+    resumed_stages: list[str] = field(default_factory=list)
+    computed_stages: list[str] = field(default_factory=list)
+
+
+def run_curation_job(
+    source: str | list[str],
+    ckpt_root: str,
+    *,
+    blocked_url_prefixes: tuple[str, ...] = (),
+    dim: int = 4096,
+    bias: int = 0,
+) -> CurationJobResult:
+    """Checkpointed intake funnel (stages/curation.py) over a page
+    corpus:
+
+        funnel_ledger -> status_counts
+
+    The ledger stage labels every page blocked (URL-prefix policy) ->
+    low_quality (hashed-linear classifier) -> duplicate -> kept and
+    checkpoints the compact (doc_id, status) relation; the rollup stage
+    is the release report. Same resume semantics as run_dedup_job: a
+    rerun with identical inputs + policy skips both stages, a policy
+    change (prefixes, dim, bias) invalidates exactly the funnel suffix.
+    doc_id = sip64(url) — deterministic, so the keep-first tiebreak and
+    the resume fingerprint agree across runs.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from doppel_ray.functions.hashing import sip64
+    from doppel_ray.stages import classifier as clf
+    from doppel_ray.stages.curation import funnel_ledger
+
+    ctx = CheckpointContext(ckpt_root, input_fingerprint(source))
+    prefixes = tuple(sorted(blocked_url_prefixes))
+
+    def prepared() -> Dataset:
+        ds = read_pages(source)
+
+        def add(batch: pa.Table) -> pa.Table:
+            ids = sip64(batch["url"].to_pandas()).astype(np.int64)
+            urls = pc.cast(batch["url"], pa.string())
+            blocked = np.zeros(len(batch), dtype=bool)
+            for p in prefixes:
+                blocked |= np.asarray(
+                    pc.fill_null(pc.starts_with(urls, p), False).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    dtype=bool,
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": batch["text"],
+                    "blocked": pa.array(blocked),
+                }
+            )
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    policy = {"prefixes": prefixes, "dim": dim, "bias": bias}
+    ledger_res = ctx.run_stage(
+        "funnel_ledger",
+        lambda: funnel_ledger(
+            prepared(), clf.derived_weights(dim), bias=bias
+        ),
+        config=policy,
+    )
+    counts_res = ctx.run_stage(
+        "status_counts",
+        lambda: ledger_res.dataset.groupby("status").aggregate(
+            Count(alias_name="n")
+        ),
+        config=policy,
+    )
+    resumed = [s.name for s in ctx.stages if s.resumed]
+    computed = [s.name for s in ctx.stages if not s.resumed]
+    return CurationJobResult(
+        ledger=ledger_res.dataset,
+        status_counts=counts_res.dataset,
+        ctx=ctx,
+        resumed_stages=resumed,
+        computed_stages=computed,
+    )

@@ -138,3 +138,44 @@ def test_job_checkpoint_signatures_stage(tmp_path, corpus_dir):
     )
     assert "signatures" in r2.resumed_stages
     assert "minhash_edges" in r2.resumed_stages
+
+
+class TestCurationJob:
+    def test_resume_and_policy_invalidation(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        r1 = job.run_curation_job(
+            corpus_dir, root, blocked_url_prefixes=("https://dup0.example/",)
+        )
+        assert r1.resumed_stages == []
+        assert set(r1.computed_stages) == {"funnel_ledger", "status_counts"}
+        counts1 = {
+            r["status"]: r["n"] for r in r1.status_counts.take_all()
+        }
+        # the blocked prefix captures planted dup cluster 0 wholesale
+        assert counts1.get("blocked", 0) > 0
+        assert counts1.get("kept", 0) > 0
+        # other planted exact clusters still produce duplicates
+        assert counts1.get("duplicate", 0) > 0
+        n_pages = sum(counts1.values())
+        led = r1.ledger.take_all()
+        assert len(led) == n_pages  # ledger partitions the corpus
+
+        # identical rerun resumes both stages with identical counts
+        r2 = job.run_curation_job(
+            corpus_dir, root, blocked_url_prefixes=("https://dup0.example/",)
+        )
+        assert r2.computed_stages == []
+        assert set(r2.resumed_stages) == {"funnel_ledger", "status_counts"}
+        counts2 = {
+            r["status"]: r["n"] for r in r2.status_counts.take_all()
+        }
+        assert counts2 == counts1
+
+        # policy change invalidates the chain; blocked pool shrinks
+        r3 = job.run_curation_job(corpus_dir, root)
+        assert set(r3.computed_stages) == {"funnel_ledger", "status_counts"}
+        counts3 = {
+            r["status"]: r["n"] for r in r3.status_counts.take_all()
+        }
+        assert counts3.get("blocked", 0) == 0
+        assert sum(counts3.values()) == n_pages
