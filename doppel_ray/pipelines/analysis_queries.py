@@ -2715,3 +2715,107 @@ def inverted_index(sf_dir: str):
             [("token", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
         ),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    rf"""
+    WITH t AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '{A.WS_TOKEN_RE}')) AS tok
+      FROM documents
+      UNION ALL
+      SELECT source, 'w' || ((doc_id * 13) % 211) AS tok FROM documents
+    ),
+    d AS (SELECT DISTINCT source, tok FROM t),
+    c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+    i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+          FROM d a JOIN d b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT ca.source AS sa, cb.source AS sb,
+           ca.n::BIGINT AS n_a, cb.n::BIGINT AS n_b,
+           COALESCE(i.ni, 0)::BIGINT AS n_common,
+           (ca.n + cb.n - COALESCE(i.ni, 0))::BIGINT AS n_union,
+           CAST(floor(10000.0 * COALESCE(i.ni, 0)
+                      / (ca.n + cb.n - COALESCE(i.ni, 0))) AS BIGINT)
+             AS jaccard_bp
+    FROM c ca
+    JOIN c cb ON ca.source < cb.source
+    LEFT JOIN i ON i.sa = ca.source AND i.sb = cb.source
+    """,
+)
+def source_overlap_matrix(sf_dir: str):
+    """All-pairs vocabulary overlap between the corpus' k sources —
+    the crawl-audit matrix ("which feeds are near-copies of each
+    other") in ONE pass via the k-way mask histogram
+    (stages/overlap.py): distinct (token, source-bitmask) folds, ONE
+    bucketed token shuffle, per-bucket OR + collapse to (mask, count)
+    rows; all k*(k-1)/2 pair statistics are then arithmetic over the
+    tiny histogram, NOT k^2 set operations. Jaccard reported exactly
+    as token_set_overlap does (one IEEE divide of exact integers both
+    engines). The template corpus' vocabulary is near-identical across
+    sources, so a deterministic per-doc token (``w{(doc_id*13) % 211}``,
+    same arithmetic both engines) is spliced in to make the pair
+    overlaps non-vacuously distinct — the pii_redaction pattern."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from doppel_ray.stages.overlap import mask_histogram, pairwise_overlap
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+    src_rows = (
+        ds.select_columns(["source"]).groupby("source").aggregate(Count())
+    ).take_all()
+    sources = sorted(r["source"] for r in src_rows)
+    idx = {s: np.uint32(1) << np.uint32(k) for k, s in enumerate(sources)}
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.utf8_lower(batch["text"]).to_pandas()
+        toks = s.str.findall(A.WS_TOKEN_RE)
+        bits = np.array(
+            [idx[v] for v in batch["source"].to_pylist()], dtype=np.uint32
+        )
+        lens = toks.str.len().to_numpy()
+        flat = toks.explode().dropna()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        synth = np.char.add("w", ((ids * 13) % 211).astype(str))
+        return pa.table(
+            {
+                "v": pa.array(
+                    np.concatenate([flat.to_numpy(), synth]), type=pa.string()
+                ),
+                "m": pa.array(
+                    np.concatenate([np.repeat(bits, lens), bits]),
+                    type=pa.uint32(),
+                ),
+            }
+        )
+
+    masks, counts = mask_histogram(ds.map_batches(tagged, batch_format="pyarrow"))
+    rows = pairwise_overlap(masks, counts, len(sources))
+    sa, sb, na, nb, ni = (
+        [sources[r[0]] for r in rows],
+        [sources[r[1]] for r in rows],
+        np.array([r[2] for r in rows], dtype=np.int64),
+        np.array([r[3] for r in rows], dtype=np.int64),
+        np.array([r[4] for r in rows], dtype=np.int64),
+    )
+    union = na + nb - ni
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bp = np.where(
+            union > 0, np.floor(10000.0 * ni / union), 0.0
+        ).astype(np.int64)
+    return pa.table(
+        {
+            "sa": pa.array(sa, type=pa.string()),
+            "sb": pa.array(sb, type=pa.string()),
+            "n_a": pa.array(na, type=pa.int64()),
+            "n_b": pa.array(nb, type=pa.int64()),
+            "n_common": pa.array(ni, type=pa.int64()),
+            "n_union": pa.array(union, type=pa.int64()),
+            "jaccard_bp": pa.array(bp, type=pa.int64()),
+        }
+    )

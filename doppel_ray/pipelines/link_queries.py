@@ -136,6 +136,61 @@ def surt_doc_keys(sf_dir: str):
     )
 
 
+@query(
+    "surt_ordered_ranks",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {L.surt_sql("('https://www.s' || (doc_id % 7) || '.site'"
+                                 " || (doc_id % 37) || '.example/p/' || doc_id"
+                                 " || '?x=' || (doc_id % 5))")} AS surt
+      FROM documents
+    )
+    SELECT doc_id, surt,
+           ROW_NUMBER() OVER (ORDER BY surt, doc_id) AS global_rank
+    FROM s
+    """,
+)
+def surt_ordered_ranks(sf_dir: str):
+    """Corpus-wide SURT total order with exact global row numbers —
+    ``ROW_NUMBER() OVER (ORDER BY surt, doc_id)`` at corpus scale via
+    the sample-partitioned range sort (stages/totalsort.py): hash-
+    sampled splitters, one narrow count pass, ONE range shuffle of the
+    (surt, doc_id) relation, per-bucket C-speed lexsort + prefix
+    offsets. This is the layout pass a web archive runs so each site's
+    subtree is contiguous (CDX/SURT ordering); num_buckets is kept
+    small here because the driver corpus is tiny — size it ~2-4x total
+    CPUs in production."""
+    from doppel_ray.stages.totalsort import total_order_ranks
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        d = _sa(ids)
+        url = pc.binary_join_element_wise(
+            "https://www.s", _sa(ids % 7),
+            ".site", _sa(ids % 37),
+            ".example/p/", d, "?x=", _sa(ids % 5), "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "surt": L.surt_key(url)})
+
+    keyed = ds.map_batches(fn, batch_format="pyarrow")
+    out = total_order_ranks(
+        keyed, "surt", "doc_id", num_buckets=8, sample_mod=4,
+        rank_col="global_rank",
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("surt", pa.string()),
+                ("global_rank", pa.int64()),
+            ]
+        ),
+    )
+
+
 def _synth_pages(batch: pa.Table, dst_mod: int = _NH) -> pa.Table:
     """Deterministic page per doc: src url on host ``h{doc_id % _NH}``,
     body carrying 3 absolute anchors to hosts ``h{(doc_id*7+j) % dst_mod}``
