@@ -2247,6 +2247,100 @@ def dup_token_window_groups(sf_dir: str):
     )
 
 
+@query(
+    "span_removed_docs",
+    # duplicated-span REMOVAL over the same augmented corpus as
+    # dup_token_window_groups: each duplicated 8-token window keeps its
+    # min-(doc,pos) occurrence; every other occurrence's tokens are
+    # excised and the doc is rebuilt as the space-join of survivors
+    # (whitespace-normalized, Lee et al. 2022 semantics). Non-vacuous by
+    # construction: the corpus-wide intro window is removed from every
+    # doc but the min doc_id, the per-family tail from all but each
+    # family's first.
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             'C1 C2 C3 C4 C5 C6 C7 C8 ' || text || ' T' ||
+             CAST(doc_id % 5 AS VARCHAR) || ' Z1 Z2 Z3 Z4 Z5 Z6 Z7' AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id,
+                    regexp_extract_all(t, '[^\t\n\f\r ]+') AS tk
+             FROM aug),
+    win AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS w
+      FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+    ),
+    g AS (
+      SELECT w,
+             min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+                 lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
+      FROM win GROUP BY w HAVING count(*) > 1
+    ),
+    rem AS (
+      SELECT win.doc_id, win.pos
+      FROM win JOIN g ON win.w = g.w
+      WHERE lpad(CAST(win.doc_id AS VARCHAR), 12, '0') || ':' ||
+            lpad(CAST(win.pos AS VARCHAR), 7, '0') <> g.fk
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + k AS tpos
+      FROM rem, UNNEST(generate_series(0, 7)) AS s(k)
+    ),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS tpos, tk[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)
+    )
+    SELECT tp.doc_id,
+           coalesce(string_agg(tp.tok, ' ' ORDER BY tp.tpos)
+                      FILTER (WHERE cov.tpos IS NULL), '') AS text,
+           count(*)::BIGINT AS n_tokens,
+           count(cov.tpos)::BIGINT AS n_removed
+    FROM tokpos tp
+    LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+    GROUP BY tp.doc_id
+    """,
+)
+def span_removed_docs(sf_dir: str):
+    """Substring-level dedup REMOVAL (Lee et al. 2022): rewrite every
+    doc with all non-first occurrences of duplicated 8-token windows
+    excised, via stages/tokenwindows.remove_dup_spans — hash-prefilter
+    candidate pass, ONE bucketed win_text shuffle emitting narrow
+    (doc, pos) removal pairs, broadcast-or-bucketed rebuild with the
+    vectorized normalized passthrough for unaffected docs."""
+    from doppel_ray.stages.tokenwindows import remove_dup_spans
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas()
+        t = (
+            "C1 C2 C3 C4 C5 C6 C7 C8 "
+            + batch["text"].to_pandas()
+            + " T"
+            + (ids % 5).astype(str)
+            + " Z1 Z2 Z3 Z4 Z5 Z6 Z7"
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t, type=pa.string())}
+        )
+
+    out = remove_dup_spans(
+        ds.map_batches(augment, batch_format="pyarrow"), window=8
+    )
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("n_tokens", pa.int64()),
+                ("n_removed", pa.int64()),
+            ]
+        ),
+    )
+
+
 def _profile_leg_sql(col: str) -> str:
     return f"""
     SELECT '{col}' AS col, count(*) AS n,

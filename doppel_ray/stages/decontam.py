@@ -77,6 +77,10 @@ def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarra
     measured 17.9s -> 6.6s at 8 CPUs, 11.1s -> 2.4s at 32 on the 800k
     pure scan). Null texts are empty docs, never a crash."""
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if pa.types.is_null(arr.type):
+        # an all-null block types its column as null; cast so the RE2
+        # kernels below see strings
+        arr = arr.cast(pa.string())
     arr = pc.fill_null(arr, "")
     norm = pc.replace_substring_regex(
         arr, pattern=f"[{_WS_CHARS}]+", replacement=" "

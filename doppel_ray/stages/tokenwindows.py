@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
@@ -46,6 +47,11 @@ from doppel_ray.stages.decontam import _flat_tokens, _ngram_hashes
 BLOOM_PREFILTER_LIMIT = 50_000_000
 
 
+#: removal pairs above which the broadcast rebuild gives way to the
+#: bucketed doc-id join (pairs are two int64s = 16 B each)
+REBUILD_BROADCAST_LIMIT = 2_000_000
+
+
 def dup_token_windows(
     ds: Dataset,
     *,
@@ -55,6 +61,49 @@ def dup_token_windows(
     bloom_limit: int = BLOOM_PREFILTER_LIMIT,
 ) -> Dataset:
     """Exact duplicated n-token-window relation (module docstring)."""
+    survivors = _dup_window_occurrences(
+        ds, window=window, text_col=text_col, id_col=id_col,
+        bloom_limit=bloom_limit,
+    )
+
+    g = (
+        survivors.groupby("win_text")
+        .aggregate(Count(alias_name="cnt"), Min("key", alias_name="fk"))
+        .filter(expr="cnt > 1")
+    )
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        fk = batch["fk"].to_pandas()
+        return pa.table(
+            {
+                "win_text": batch["win_text"],
+                "cnt": batch["cnt"],
+                "first_doc": pa.array(
+                    fk.str.slice(0, 12).astype(np.int64), type=pa.int64()
+                ),
+                "first_pos": pa.array(
+                    fk.str.slice(13).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return g.map_batches(split_key, batch_format="pyarrow")
+
+
+def _dup_window_occurrences(
+    ds: Dataset,
+    *,
+    window: int,
+    text_col: str,
+    id_col: str,
+    bloom_limit: int,
+) -> Dataset:
+    """Hash-prefiltered occurrence stream of CANDIDATE duplicated
+    windows: one row ``(win_text, key)`` per window whose 64-bit hash is
+    seen >= 2 times corpus-wide (key = zero-padded ``doc:pos``). Shared
+    by detection (`dup_token_windows`) and removal (`remove_dup_spans`);
+    consumers must re-verify on the window STRING (count > 1) to kill
+    hash collisions."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
 
@@ -102,30 +151,199 @@ def dup_token_windows(
         ref = ray.put(bf)
 
     survivors_fn = _make_survivor_fn(text_col, id_col, window, ref, exact)
-    survivors = narrow.map_batches(survivors_fn, batch_format="pyarrow")
+    return narrow.map_batches(survivors_fn, batch_format="pyarrow")
 
-    g = (
-        survivors.groupby("win_text")
-        .aggregate(Count(alias_name="cnt"), Min("key", alias_name="fk"))
-        .filter(expr="cnt > 1")
+
+def remove_dup_spans(
+    ds: Dataset,
+    *,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_limit: int = BLOOM_PREFILTER_LIMIT,
+    broadcast_limit: int = REBUILD_BROADCAST_LIMIT,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Substring-level dedup REMOVAL (Lee et al. 2022 semantics): every
+    duplicated n-token window keeps its first occurrence corpus-wide
+    (min zero-padded ``(doc, pos)`` key, the stable-id stance of
+    SURVEY.md G4) and every OTHER occurrence marks its ``window`` tokens
+    for removal; docs are rewritten as the space-join of surviving
+    tokens. Output text is whitespace-NORMALIZED for every doc (the
+    tokenizer collapses runs), with ``n_tokens`` (original) and
+    ``n_removed`` audit columns.
+
+    Scale shape:
+
+    1. Candidate occurrences from the shared hash-prefilter pass
+       (`_dup_window_occurrences` — shuffle volume bounded by duplicated
+       windows, never the corpus).
+    2. ONE bucketed ``win_text`` shuffle resolves per-window min keys at
+       C speed (string grouping kills 64-bit hash collisions exactly as
+       in `dup_token_windows`); non-first occurrences emit narrow
+       ``(doc_id, pos)`` int64 pairs — 16 B each, bounded by duplicated
+       token volume (~3% of tokens on web corpora per Lee et al.).
+    3. Rebuild: below ``broadcast_limit`` pairs, the sorted pair arrays
+       broadcast once (``ray.put`` + per-worker `cached_get`) and one
+       ``map_batches`` rewrites docs in place — unaffected docs take the
+       vectorized normalized string, only affected docs materialize
+       Python tokens. Above it, a tagged-union bucketed join on
+       ``id_col`` co-locates each doc with its pairs (payload shuffles
+       once; the pair side is narrow).
+    """
+    survivors = _dup_window_occurrences(
+        ds, window=window, text_col=text_col, id_col=id_col,
+        bloom_limit=bloom_limit,
     )
 
-    def split_key(batch: pa.Table) -> pa.Table:
-        fk = batch["fk"].to_pandas()
+    def per_bucket_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("win_text")["key"]
+        dup = (g.transform("size") > 1).to_numpy()
+        nonfirst = (df["key"] != g.transform("min")).to_numpy()
+        rem = df.loc[dup & nonfirst, "key"]
         return pa.table(
             {
-                "win_text": batch["win_text"],
-                "cnt": batch["cnt"],
-                "first_doc": pa.array(
-                    fk.str.slice(0, 12).astype(np.int64), type=pa.int64()
+                "doc_id": pa.array(
+                    rem.str.slice(0, 12).astype(np.int64), type=pa.int64()
                 ),
-                "first_pos": pa.array(
-                    fk.str.slice(13).astype(np.int64), type=pa.int64()
+                "pos": pa.array(
+                    rem.str.slice(13).astype(np.int64), type=pa.int64()
                 ),
             }
         )
 
-    return g.map_batches(split_key, batch_format="pyarrow")
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    pairs = bucketed_group_apply(
+        survivors, "win_text", per_bucket_pairs,
+        num_buckets=num_buckets, materialize_input=True,
+    ).materialize()
+    n_pairs = pairs.count()
+
+    docs = ds.select_columns([id_col, text_col])
+
+    if n_pairs <= broadcast_limit:
+        import ray
+
+        from doppel_ray.stages.util import collect_table
+
+        t = collect_table(
+            pairs,
+            schema=pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]),
+        )
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        ref = ray.put((d[order], p[order]))
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            from doppel_ray.stages.util import cached_get
+
+            pd_, pp_ = cached_get(ref)
+            return _rebuild_docs(batch, pd_, pp_, window, text_col, id_col)
+
+        return docs.map_batches(rebuild, batch_format="pyarrow")
+
+    # bucketed regime: co-locate each doc with its removal pairs via ONE
+    # tagged-union shuffle on the doc id (pos = -1 tags the doc row)
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                text_col: batch[text_col].cast(pa.string()),
+                "pos": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64)
+                ),
+            }
+        )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch["doc_id"],
+                text_col: pa.array([""] * batch.num_rows, type=pa.string()),
+                "pos": batch["pos"],
+            }
+        )
+
+    union = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    )
+
+    def per_bucket_rebuild(t: pa.Table) -> pa.Table:
+        is_doc = pc.less(t["pos"], 0)
+        doc_tbl = t.filter(is_doc).select([id_col, text_col])
+        pr = t.filter(pc.invert(is_doc))
+        d = pr[id_col].to_numpy(zero_copy_only=False)
+        p = pr["pos"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((p, d))
+        return _rebuild_docs(doc_tbl, d[o], p[o], window, text_col, id_col)
+
+    return bucketed_group_apply(
+        union, id_col, per_bucket_rebuild, num_buckets=num_buckets
+    )
+
+
+def _rebuild_docs(
+    doc_tbl: pa.Table,
+    pair_doc: np.ndarray,
+    pair_pos: np.ndarray,
+    window: int,
+    text_col: str,
+    id_col: str,
+) -> pa.Table:
+    """Rewrite each doc with its removal windows excised. ``pair_doc``
+    MUST be sorted (pairs for docs outside this table are ignored, so
+    the broadcast regime can ship one global array). Unaffected docs
+    take the vectorized whitespace-normalized string; only affected docs
+    materialize Python token lists."""
+    from doppel_ray.stages.decontam import _WS_CHARS
+
+    ids = doc_tbl[id_col].to_numpy(zero_copy_only=False)
+    flat, counts = _flat_tokens(doc_tbl[text_col])
+    doc_start = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=doc_start[1:])
+
+    arr = doc_tbl[text_col]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_null(arr.type):
+        arr = arr.cast(pa.string())
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.fill_null(arr, ""), pattern=f"[{_WS_CHARS}]+", replacement=" "
+        ),
+        characters=_WS_CHARS,
+    )
+    texts = norm.to_pylist()
+    n_removed = np.zeros(len(ids), dtype=np.int64)
+
+    lo = np.searchsorted(pair_doc, ids, side="left")
+    hi = np.searchsorted(pair_doc, ids, side="right")
+    for r in np.flatnonzero(hi > lo):
+        rel = pair_pos[lo[r] : hi[r]]
+        n_tok = int(counts[r])
+        if len(rel) and (rel.min() < 0 or int(rel.max()) + window > n_tok):
+            raise ValueError(
+                f"removal window out of range for doc {ids[r]}: "
+                f"pos {int(rel.max())} + {window} > {n_tok} tokens "
+                "(tokenization mismatch between passes)"
+            )
+        keep = np.ones(n_tok, dtype=bool)
+        cover = (rel[:, None] + np.arange(window, dtype=np.int64)).ravel()
+        keep[cover] = False
+        n_removed[r] = n_tok - int(keep.sum())
+        toks = flat.slice(int(doc_start[r]), n_tok)
+        texts[r] = " ".join(toks.filter(pa.array(keep)).to_pylist())
+
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            text_col: pa.array(texts, type=pa.string()),
+            "n_tokens": pa.array(counts, type=pa.int64()),
+            "n_removed": pa.array(n_removed, type=pa.int64()),
+        }
+    )
 
 
 def _make_survivor_fn(text_col, id_col, window, ref, exact: bool):

@@ -102,3 +102,113 @@ def test_layout_invariance_and_edges(ray_session):
     assert len(got) == 0
     with pytest.raises(ValueError):
         dup_token_windows(ray.data.from_pandas(tiny), window=1)
+
+
+def _brute_removed(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    """Reference removal: non-first occurrences of duplicated windows
+    mark their tokens; docs rebuilt as the space-join of survivors."""
+    import re
+
+    toks = {
+        int(r.doc_id): re.findall(_TOK, r.text or "") for _, r in df.iterrows()
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - w + 1):
+            occ.setdefault(" ".join(tk[i : i + w]), []).append((d, i))
+    cover: dict[int, set[int]] = {d: set() for d in toks}
+    for positions in occ.values():
+        if len(positions) > 1:
+            first = min(positions)
+            for d, i in positions:
+                if (d, i) != first:
+                    cover[d].update(range(i, i + w))
+    rows = []
+    for d, tk in toks.items():
+        kept = [t for i, t in enumerate(tk) if i not in cover[d]]
+        rows.append(
+            {
+                "doc_id": d,
+                "text": " ".join(kept),
+                "n_tokens": len(tk),
+                "n_removed": len(cover[d]),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"doc_id": np.int64, "n_tokens": np.int64, "n_removed": np.int64})
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+class TestRemoveDupSpans:
+    def _run(self, df, w, **kw):
+        from doppel_ray.stages.tokenwindows import remove_dup_spans
+
+        return (
+            remove_dup_spans(
+                ray.data.from_pandas(df).repartition(5), window=w, **kw
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+            .astype(
+                {"doc_id": np.int64, "n_tokens": np.int64, "n_removed": np.int64}
+            )
+        )
+
+    @pytest.mark.parametrize("w", [3, 6])
+    def test_matches_brute_force(self, ray_session, w):
+        df = _corpus(seed=17, n=90)
+        pd.testing.assert_frame_equal(self._run(df, w), _brute_removed(df, w))
+
+    def test_bucketed_regime_identical(self, ray_session):
+        # broadcast_limit=0 forces the tagged-union doc-id join regime
+        df = _corpus(seed=23, n=70)
+        pd.testing.assert_frame_equal(
+            self._run(df, 4, broadcast_limit=0, num_buckets=7),
+            self._run(df, 4),
+        )
+
+    def test_first_occurrence_survives(self, ray_session):
+        run = "p1 p2 p3 p4 p5 p6"
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([3, 8, 9], dtype=np.int64),
+                "text": [
+                    f"{run} alpha",          # min (doc,pos): keeps the run
+                    f"lead {run} beta",      # later doc: run removed
+                    f"{run} x {run}",        # both copies non-first (doc 3 owns
+                ],                           # the min key): both removed
+            }
+        )
+        got = self._run(df, 6).set_index("doc_id")
+        assert got.loc[3, "text"] == f"{run} alpha"
+        assert got.loc[8, "text"] == "lead beta"
+        assert got.loc[9, "text"] == "x"
+        assert int(got.loc[9, "n_removed"]) == 12
+
+    def test_unaffected_docs_ws_normalized_passthrough(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2], dtype=np.int64),
+                "text": ["  a\t\tb   c  ", None],
+            }
+        )
+        got = self._run(df, 3).set_index("doc_id")
+        assert got.loc[1, "text"] == "a b c"
+        assert got.loc[2, "text"] == ""
+        assert got["n_removed"].sum() == 0
+
+    def test_layout_invariance(self, ray_session):
+        from doppel_ray.stages.tokenwindows import remove_dup_spans
+
+        df = _corpus(seed=31, n=50)
+        outs = [
+            remove_dup_spans(
+                ray.data.from_pandas(df).repartition(p), window=5
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+            for p in (1, 13)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
