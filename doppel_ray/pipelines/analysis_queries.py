@@ -2341,6 +2341,60 @@ def span_removed_docs(sf_dir: str):
     )
 
 
+@query(
+    "cms_token_estimates",
+    # Count-Min point queries are EXACT integer arithmetic over a
+    # deterministic md5 grid, so the whole sketch is SQL-recomputable:
+    # the oracle rebuilds the identical depth-4 x width-16 grid (width
+    # deliberately tiny vs the 31-token synthetic vocab so the
+    # overestimate path is non-vacuous: 6 of 8 probes collide) and takes
+    # the same min-over-rows. cms_est >= true_cnt by construction.
+    r"""
+    WITH toks AS (SELECT unnest(regexp_extract_all(text,
+                         '[^\t\n\f\r ]+')) AS tok FROM documents),
+    probes(token) AS (VALUES ('join'), ('hash'), ('batch'), ('vector'),
+                             ('window'), ('spark'), ('the'), ('zzzunseen')),
+    cells AS (
+      SELECT j, CAST(md5_number_upper(tok || '#' ||
+                     CAST(j AS VARCHAR)) % 16 AS BIGINT) AS slot,
+             count(*)::BIGINT AS c
+      FROM toks, UNNEST(generate_series(0, 3)) AS g(j)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.token, min(coalesce(c.c, 0)) AS cms_est
+      FROM probes p
+      CROSS JOIN UNNEST(generate_series(0, 3)) AS g(j)
+      LEFT JOIN cells c
+        ON c.j = g.j
+       AND c.slot = CAST(md5_number_upper(p.token || '#' ||
+                         CAST(g.j AS VARCHAR)) % 16 AS BIGINT)
+      GROUP BY p.token
+    ),
+    truth AS (SELECT tok AS token, count(*)::BIGINT AS true_cnt
+              FROM toks GROUP BY tok)
+    SELECT e.token, coalesce(t.true_cnt, 0) AS true_cnt, e.cms_est
+    FROM est e LEFT JOIN truth t USING (token)
+    """,
+)
+def cms_token_estimates(sf_dir: str):
+    """Count-Min sketch point queries (stages/cms.py): per-block exact
+    token counts scattered into the md5 grid, nonzero cells only through
+    ONE narrow structure-bounded groupby, estimates = min over rows.
+    Probes cover hot, mid, and absent tokens; true counts ride along
+    from a probe-filtered exact pass."""
+    from doppel_ray.stages.cms import cms_point_estimates
+
+    ds = read_documents(sf_dir, columns=["text"])
+    return cms_point_estimates(
+        ds,
+        ["join", "hash", "batch", "vector", "window", "spark", "the",
+         "zzzunseen"],
+        width=16,
+        depth=4,
+    )
+
+
 def _profile_leg_sql(col: str) -> str:
     return f"""
     SELECT '{col}' AS col, count(*) AS n,
