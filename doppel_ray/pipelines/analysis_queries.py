@@ -255,6 +255,42 @@ def doc_sample(sf_dir: str):
 
 
 @query(
+    "weighted_doc_sample",
+    # Efraimidis-Spirakis order sampling with the md5 hash as the RNG:
+    # both engines order by skey = ln((h+1)/2^64) / n_chars. DuckDB's ln
+    # differs from libm by 1-2 ULP on these inputs (measured in
+    # tests/test_sample.py), so the contract is the selected SET, not
+    # the float: adjacent order keys at this cardinality are separated
+    # by ~1e9 ULPs, so a last-bit wobble cannot flip the cut line.
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ln((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                 + 1) / 18446744073709551616.0) / n_chars AS skey
+      FROM documents
+      ORDER BY skey DESC, doc_id
+      LIMIT 25
+    )
+    """,
+)
+def weighted_doc_sample(sf_dir: str):
+    """Deterministic length-weighted sample without replacement
+    (stages/sample.py weighted_sample): 25 docs drawn proportional to
+    n_chars via hash-seeded E-S order keys and the block-pruned global
+    top-k — no RNG, no sort, layout-invariant."""
+    from doppel_ray.stages.sample import weighted_sample
+
+    ds = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = weighted_sample(
+        ds, 25, weight_col="n_chars", key_col="doc_id"
+    ).drop_columns(["skey"])
+    return finalize(
+        out,
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+
+
+@query(
     "term_doc_freq",
     rf"""
     WITH tok AS (

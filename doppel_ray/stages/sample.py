@@ -135,3 +135,59 @@ def stratified_hash_sample(
         return batch.filter(pa.array(h < nums))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: Dataset,
+    k: int,
+    *,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> Dataset:
+    """Deterministic weight-proportional sample WITHOUT replacement
+    (Efraimidis & Spirakis 2006 order sampling, with the md5 hash in
+    place of the RNG): per row ``u = (md5_low64(str(key) + salt) + 1) /
+    2^64`` in (0, 1], order key ``skey = ln(u) / weight``, result = the
+    global top-``k`` rows by ``(skey DESC, key)``.
+
+    Maximizing ``ln(u)/w`` is monotone-equivalent to E-S's ``u^(1/w)``,
+    so inclusion probabilities follow the classic without-replacement
+    weighted scheme — but the draw is a pure function of the key, so the
+    SAME rows are selected at any cluster size or block layout, and a
+    DuckDB oracle reproduces the SELECTION. DuckDB's ``ln`` differs from
+    libm by 1-2 ULP on these inputs (measured in tests/test_sample.py),
+    so the float skey is engine-local — but adjacent order keys sit ~1e9
+    ULPs apart at realistic cardinalities, far beyond last-bit wobble,
+    so the selected set is stable across engines.
+
+    Scale shape: one ``map_batches`` computes keys; selection is
+    `rank.global_topk` — per-block prune to k, a k x blocks survivor
+    union, corpus-size-independent shuffle volume. Weights must be > 0
+    and non-null (raises per batch otherwise).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            [str(v) + salt for v in batch[key_col].to_pylist()], dtype=object
+        )
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if np.any(~np.isfinite(w)) or np.any(w <= 0):
+            raise ValueError(
+                f"weighted_sample: {weight_col} must be finite and > 0"
+            )
+        h = md5_token_hash64(keys).astype(np.float64)
+        u = (h + 1.0) / 18446744073709551616.0
+        skey = np.log(u) / w
+        return batch.append_column("skey", pa.array(skey, type=pa.float64()))
+
+    from doppel_ray.stages.rank import global_topk
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return global_topk(
+        keyed, ["skey", key_col], ascending=[False, True], k=k
+    )

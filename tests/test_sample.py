@@ -154,3 +154,116 @@ class TestStratifiedValidation:
             sample.stratified_hash_sample(
                 ds, "k", "s", {"x": 5}, default_num=-3, den=1000
             )
+
+
+class TestWeightedSample:
+    def _df(self, n=300, seed=13):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "w": rng.integers(1, 500, n).astype(np.int64),
+            }
+        )
+
+    @staticmethod
+    def _brute(df, k, salt=""):
+        import hashlib
+
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5((str(i) + salt).encode()).digest()[:8],
+                    "little",
+                )
+                for i in df.doc_id
+            ],
+            dtype=np.uint64,
+        ).astype(np.float64)
+        u = (h + 1.0) / 2.0**64
+        skey = np.log(u) / df.w.to_numpy(np.float64)
+        out = df.assign(skey=skey).sort_values(
+            ["skey", "doc_id"], ascending=[False, True]
+        )
+        return out.head(k).sort_values("doc_id", ignore_index=True)
+
+    def test_bit_exact_brute_parity_and_layout(self):
+        from doppel_ray.stages.sample import weighted_sample
+
+        df = self._df()
+        want = self._brute(df, 20)
+        for p in (1, 9):
+            got = (
+                weighted_sample(
+                    rd.from_pandas(df).repartition(p), 20, weight_col="w"
+                )
+                .to_pandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["doc_id", "w", "skey"]], want[["doc_id", "w", "skey"]]
+            )
+
+    def test_weight_proportional_inclusion(self):
+        # one row with 100x everyone's weight should be selected in the
+        # top-5 for the overwhelming majority of salts
+        from doppel_ray.stages.sample import weighted_sample
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(100, dtype=np.int64),
+                "w": np.r_[np.full(99, 10), 1000].astype(np.int64),
+            }
+        )
+        hits = 0
+        for s in range(12):
+            got = weighted_sample(
+                rd.from_pandas(df), 5, weight_col="w", salt=f"s{s}"
+            ).to_pandas()
+            hits += int((got.doc_id == 99).any())
+        assert hits >= 9
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from doppel_ray.stages.sample import weighted_sample
+
+        df = self._df(n=10)
+        with _pytest.raises(ValueError):
+            weighted_sample(rd.from_pandas(df), 0, weight_col="w")
+        bad = df.assign(w=np.r_[np.zeros(1), np.ones(9)].astype(np.int64))
+        with _pytest.raises(Exception, match="finite and > 0"):
+            weighted_sample(
+                rd.from_pandas(bad), 3, weight_col="w"
+            ).to_pandas()
+
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from doppel_ray.stages.sample import weighted_sample
+
+        df = self._df(n=200, seed=29)
+        got = (
+            weighted_sample(rd.from_pandas(df).repartition(4), 15, weight_col="w")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            """
+            SELECT doc_id, w,
+                   ln((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                       + 1) / 18446744073709551616.0) / w AS skey
+            FROM t ORDER BY skey DESC, doc_id LIMIT 15
+            """
+        ).df().sort_values("doc_id", ignore_index=True)
+        want["doc_id"] = want["doc_id"].astype(np.int64)
+        want["w"] = want["w"].astype(np.int64)
+        # the SELECTION matches; the skey doubles are engine-local
+        # (DuckDB ln differs from libm by 1-2 ULP on these inputs)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "w"]], want[["doc_id", "w"]], check_exact=True
+        )
+        ulp_gap = np.abs(got.skey.to_numpy() - want.skey.to_numpy())
+        assert (ulp_gap <= 4 * np.finfo(np.float64).eps * np.abs(want.skey.to_numpy())).all()
