@@ -1900,6 +1900,61 @@ def shared_tokens(sf_dir: str):
     return finalize(out, pa.schema([("tok", pa.string())]))
 
 
+@query(
+    "pmi_collocations",
+    # top bigrams by LIFT (= exp(PMI)): joint from the bigram
+    # distribution, marginals from unigrams. ln is not bit-stable
+    # across engines, but lift is pure multiply/divide (correctly
+    # rounded IEEE), so with the SAME association on both sides —
+    # ((c*Nuni)*Nuni)/((Nbig*cx)*cy) — the doubles hash-match exactly.
+    rf"""
+    WITH tok AS (SELECT doc_id,
+                        regexp_extract_all(lower(text), '{A.WS_TOKEN_RE}') AS ts
+                 FROM documents),
+    uni AS (SELECT t AS tok, count(*)::BIGINT AS c
+            FROM tok, unnest(ts) AS u(t) GROUP BY 1),
+    nuni AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM uni),
+    pairs AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+              FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+    big AS (SELECT w1, w2, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+    nbig AS (SELECT CAST(sum(n) AS DOUBLE) AS v FROM big),
+    scored AS (
+      SELECT b.w1 || ' ' || b.w2 AS bigram, b.n,
+             ((CAST(b.n AS DOUBLE) * nuni.v) * nuni.v) /
+             ((nbig.v * CAST(ux.c AS DOUBLE)) * CAST(uy.c AS DOUBLE)) AS lift
+      FROM big b
+      CROSS JOIN nuni
+      CROSS JOIN nbig
+      JOIN uni ux ON ux.tok = b.w1
+      JOIN uni uy ON uy.tok = b.w2
+      WHERE b.n >= 10
+    )
+    SELECT bigram, n, lift FROM scored
+    ORDER BY lift DESC, bigram LIMIT 20
+    """,
+)
+def pmi_collocations(sf_dir: str):
+    """Collocation mining: top-20 bigrams by lift above a support floor
+    (stages/collocations.py) — combiner-first bigram + unigram
+    relations, vocabulary-bounded broadcast lookup, one zero-shuffle
+    scoring map, block-pruned global top-k. PMI = ln(lift) derives
+    downstream; lift itself stays bit-exact across engines."""
+    from doppel_ray.stages.collocations import bigram_lift_topk
+
+    ds = read_documents(sf_dir, columns=["text"])
+    out = bigram_lift_topk(ds, k=20, min_count=10)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("bigram", pa.string()),
+                ("n", pa.int64()),
+                ("lift", pa.float64()),
+            ]
+        ),
+    )
+
+
 _BIGRAM_MIN = 20
 
 
