@@ -284,6 +284,57 @@ def ann_topk(sf_dir: str):
 
 
 @query(
+    "hard_negatives",
+    # contrastive-pair mining: for each query vector, the single most
+    # similar vector with a DIFFERENT label. Integer-only output; the
+    # rank-1 boundary margin dwarfs DuckDB's float32 accumulation noise
+    # (same stance as ann_topk).
+    """
+    SELECT q.vec_id AS query_id, x.vec_id AS negative_id
+    FROM embeddings q JOIN embeddings x
+      ON x.vec_id != q.vec_id AND x.label != q.label
+    WHERE q.vec_id < 16
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding, x.embedding) DESC,
+                 x.vec_id
+    ) = 1
+    """,
+)
+def hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: nearest
+    cross-label neighbor for each of the first 16 vectors, via the
+    broadcast-query blocked matmul with same-label candidates masked
+    (stages/ann.py cosine_topk label regime)."""
+    import numpy as np
+
+    from doppel_ray.sources.parquet import read_embeddings
+    from doppel_ray.stages import ann
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding", "label"])
+    qrows = ds.filter(expr="vec_id < 16").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows], dtype=np.int64)
+    out = ann.cosine_topk(
+        ds, qm, qids, k=1, label_col="label", query_labels=qlabels
+    )
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["query_id"])
+    return pa.table(
+        {
+            "query_id": pa.array(
+                [r["query_id"] for r in rows], type=pa.int64()
+            ),
+            "negative_id": pa.array(
+                [r["neighbor_id"] for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+@query(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -90,15 +90,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     exclude_self: bool = True,
     num_buckets: int = 16,
+    label_col: str | None = None,
+    query_labels: np.ndarray | None = None,
 ) -> Dataset:
     """Exact cosine top-k of every query over the corpus. Ties broken by
-    ascending neighbor id (deterministic output)."""
+    ascending neighbor id (deterministic output).
+
+    With ``label_col`` + ``query_labels`` set, candidates sharing the
+    query's label are masked out — the HARD-NEGATIVE mining regime
+    (contrastive training pairs: nearest neighbor of a different class).
+    """
+    if (label_col is None) != (query_labels is None):
+        raise ValueError("label_col and query_labels must be set together")
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    ref = ray.put((qn, qids))
+    qlabels = (
+        np.asarray(query_labels, dtype=np.int64)
+        if query_labels is not None
+        else None
+    )
+    ref = ray.put((qn, qids, qlabels))
 
     def partial(batch: pa.Table) -> pa.Table:
-        q, ids = ray.get(ref)
+        q, ids, qlab = ray.get(ref)
         x = batch_matrix(batch[vec_col])
         if x.shape[0] == 0:
             return pa.table(
@@ -112,6 +126,13 @@ def cosine_topk(
         sims = _normalize(x) @ q.T  # (n, q)
         if exclude_self:
             sims[vid[:, None] == ids[None, :]] = -2.0
+        if qlab is not None:
+            lab = (
+                batch[label_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            sims[lab[:, None] == qlab[None, :]] = -2.0
         kk = min(k, sims.shape[0])
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
         qi = np.repeat(ids, kk)
@@ -127,7 +148,8 @@ def cosine_topk(
             }
         )
 
-    partials = ds.select_columns([id_col, vec_col]).map_batches(
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    partials = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow"
     )
 

@@ -163,3 +163,55 @@ class TestIVF:
             gg.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         recalls = [len(gg.get(q, set()) & gw[q]) / len(gw[q]) for q in gw]
         assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+class TestHardNegatives:
+    def _labeled(self, emb: np.ndarray, labels: np.ndarray) -> pa.Table:
+        return _vec_table(emb).append_column(
+            "label", pa.array(labels.astype(np.int32), type=pa.int32())
+        )
+
+    def test_nearest_cross_label_vs_brute_force(self, ray_session):
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((200, 12))
+        labels = rng.integers(0, 4, 200)
+        ds = rd.from_arrow(self._labeled(emb, labels)).repartition(6)
+        qids = np.array([0, 9, 42, 77], dtype=np.int64)
+        out = ann.cosine_topk(
+            ds,
+            emb[qids],
+            qids,
+            k=1,
+            label_col="label",
+            query_labels=labels[qids],
+        ).take_all()
+
+        # float32 storage on the Dataset side: mirror it in the oracle
+        e32 = emb.astype(np.float32).astype(np.float64)
+        en = e32 / np.linalg.norm(e32, axis=1, keepdims=True)
+        for qi, qid in enumerate(qids):
+            sims = en @ en[qid]
+            sims[np.arange(len(emb)) == qid] = -2
+            sims[labels == labels[qid]] = -2
+            want = int(np.argmax(sims))
+            got = [r["neighbor_id"] for r in out if r["query_id"] == qid]
+            assert got == [want], qid
+            assert labels[want] != labels[qid]
+
+    def test_label_args_must_pair(self, ray_session):
+        import pytest
+
+        emb = np.random.default_rng(1).standard_normal((6, 4))
+        ds = rd.from_arrow(self._labeled(emb, np.zeros(6, dtype=np.int64)))
+        with pytest.raises(ValueError):
+            ann.cosine_topk(ds, emb[:1], np.array([0]), label_col="label")
+
+    def test_all_same_label_yields_empty(self, ray_session):
+        emb = np.random.default_rng(2).standard_normal((8, 4))
+        labels = np.zeros(8, dtype=np.int64)
+        ds = rd.from_arrow(self._labeled(emb, labels))
+        out = ann.cosine_topk(
+            ds, emb[:2], np.array([0, 1]), k=1,
+            label_col="label", query_labels=labels[:2],
+        ).take_all()
+        assert out == []
