@@ -1901,6 +1901,44 @@ def shared_tokens(sf_dir: str):
 
 
 @query(
+    "length_outliers",
+    # robust MAD outlier cut: both medians are quantile_disc elements
+    # (the pinned discrete rule), deviations and the 2x threshold are
+    # integer arithmetic — the flagged set is bit-identical. c=2 keeps
+    # the cut non-vacuous on the tight synthetic length distribution
+    # (12 outliers at sf0.01; c=3 flags none).
+    """
+    WITH med AS (SELECT quantile_disc(n_chars, 0.5) AS m FROM documents),
+    dev AS (SELECT doc_id, n_chars,
+                   abs(n_chars - med.m)::BIGINT AS abs_dev
+            FROM documents, med),
+    mad AS (SELECT quantile_disc(abs_dev, 0.5) AS d FROM dev)
+    SELECT doc_id, n_chars, abs_dev
+    FROM dev, mad WHERE abs_dev > 2 * mad.d
+    """,
+)
+def length_outliers(sf_dir: str):
+    """Robust quality cut: docs whose length deviates from the corpus
+    median by more than 2 MADs (stages/quantiles.py mad_outliers — two
+    distributed exact-quantile passes, one zero-shuffle filter;
+    all-integer so layout-invariant and SQL-recomputable)."""
+    from doppel_ray.stages.quantiles import mad_outliers
+
+    ds = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = mad_outliers(ds, "n_chars", c=2)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("abs_dev", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "pmi_collocations",
     # top bigrams by LIFT (= exp(PMI)): joint from the bigram
     # distribution, marginals from unigrams. ln is not bit-stable

@@ -359,3 +359,57 @@ def grouped_quantiles(
     from doppel_ray.stages.exact import bucketed_group_apply
 
     return bucketed_group_apply(hist, group_col, per_bucket, num_buckets=num_buckets)
+
+
+def mad_outliers(
+    ds,
+    col: str,
+    *,
+    c: int = 3,
+    id_col: str = "doc_id",
+    driver_limit: int = DRIVER_HIST_LIMIT,
+):
+    """Robust outlier detection by median absolute deviation (the
+    quality cut that survives heavy-tailed web-corpus length/score
+    distributions where mean/stddev don't): flag rows with
+    ``|x - median| > c * MAD`` where ``MAD = median(|x - median|)``.
+
+    All-INTEGER for integer columns — both medians are `exact_quantiles`
+    elements (quantile_disc rule), the deviation is integer arithmetic,
+    and the threshold is an integer multiply — so the flagged SET is
+    bit-identical at any layout and SQL-recomputable with nested
+    ``quantile_disc``.
+
+    Scale shape: two distributed quantile passes (each HLL-gated driver
+    histogram or bucketed cumulative walk — never a corpus-sized driver
+    collect) + one zero-shuffle filter map. Returns ``(id_col, col,
+    abs_dev)`` rows for the outliers.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+
+    med = exact_quantiles(ds, col, [0.5], driver_limit=driver_limit)
+    if not med:
+        schema = pa.schema(
+            [(id_col, pa.int64()), (col, pa.int64()), ("abs_dev", pa.int64())]
+        )
+        import ray.data
+
+        return ray.data.from_arrow(schema.empty_table())
+    m = med[0][1]
+
+    def add_dev(batch: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(batch[col], m))
+        if "abs_dev" in batch.column_names:
+            batch = batch.drop_columns(["abs_dev"])
+        return batch.append_column("abs_dev", dev)
+
+    devds = ds.select_columns([id_col, col]).map_batches(
+        add_dev, batch_format="pyarrow"
+    )
+    mad = exact_quantiles(devds, "abs_dev", [0.5], driver_limit=driver_limit)
+    thresh = c * mad[0][1]
+    return devds.filter(expr=f"abs_dev > {thresh}")

@@ -100,3 +100,76 @@ class TestBucketedQuantiles:
         con.register("t", pd.DataFrame({"x": vals}))
         want = con.execute("SELECT quantile_disc(x, 0.5) FROM t").fetchone()[0]
         assert got[0.5] == want
+
+
+class TestMADOutliers:
+    @staticmethod
+    def _brute(vals: "np.ndarray", c: int) -> "np.ndarray":
+        # quantile_disc rule: element at ceil(p*n)-1 of the sorted values
+        import math
+
+        s = np.sort(vals)
+        med = s[max(math.ceil(0.5 * len(s)) - 1, 0)]
+        dev = np.abs(vals - med)
+        d = np.sort(dev)[max(math.ceil(0.5 * len(dev)) - 1, 0)]
+        return dev > c * d
+
+    def test_matches_brute_force_and_layout(self, ray_session):
+        import ray.data as rd
+
+        from doppel_ray.stages.quantiles import mad_outliers
+
+        rng = np.random.default_rng(11)
+        vals = np.r_[
+            rng.integers(90, 110, 400), rng.integers(1000, 5000, 25)
+        ].astype(np.int64)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(vals), dtype=np.int64), "x": vals}
+        )
+        want_mask = self._brute(vals, 3)
+        assert want_mask.any()  # planted tail is flagged
+        for p in (1, 8):
+            got = (
+                mad_outliers(
+                    rd.from_pandas(df).repartition(p), "x", c=3
+                )
+                .to_pandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+            assert got.doc_id.tolist() == df.doc_id[want_mask].tolist()
+            assert (got.abs_dev > 0).all()
+
+    def test_bucketed_walk_regime_identical(self, ray_session):
+        # driver_limit=0 forces the distributed cumulative-walk quantile
+        import ray.data as rd
+
+        from doppel_ray.stages.quantiles import mad_outliers
+
+        rng = np.random.default_rng(5)
+        vals = np.r_[rng.integers(0, 50, 200), [900, 950, 1000]].astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(vals), dtype=np.int64), "x": vals}
+        )
+        a = (
+            mad_outliers(rd.from_pandas(df), "x", c=2)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            mad_outliers(rd.from_pandas(df), "x", c=2, driver_limit=0)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_validation(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from doppel_ray.stages.quantiles import mad_outliers
+
+        df = pd.DataFrame({"doc_id": [0], "x": [1]})
+        with _pytest.raises(ValueError):
+            mad_outliers(rd.from_pandas(df), "x", c=0)
