@@ -1901,6 +1901,49 @@ def shared_tokens(sf_dir: str):
 
 
 @query(
+    "ngram_diversity_by_source",
+    # distinct-vs-total trigram ratio per source; the engine dedupes on
+    # 64-bit gram hashes (the novelty.py collision stance — zero
+    # collisions at any driver scale), the oracle on gram strings.
+    # diversity_bp is integer floor division on both sides.
+    r"""
+    WITH toks AS (SELECT source,
+                         regexp_extract_all(text, '[^\t\n\f\r ]+') AS tk
+                  FROM documents),
+    win AS (SELECT source, array_to_string(tk[i:i+2], ' ') AS g
+            FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+    agg AS (SELECT source, count(DISTINCT g)::BIGINT AS n_distinct,
+                   count(*)::BIGINT AS n_total
+            FROM win GROUP BY source)
+    SELECT source, n_distinct, n_total,
+           (10000 * n_distinct) // n_total AS diversity_bp
+    FROM agg
+    """,
+)
+def ngram_diversity_by_source(sf_dir: str):
+    """Per-source trigram diversity (type/token ratio in basis points)
+    — the corpus audit that catches template farms and generator loops.
+    stages/novelty.py ngram_diversity: in-batch distinct (source,
+    gram-hash) fold, ONE narrow two-key groupby, tiny per-source
+    rollup."""
+    from doppel_ray.stages.novelty import ngram_diversity
+
+    ds = read_documents(sf_dir, columns=["source", "text"])
+    out = ngram_diversity(ds, n=3)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_distinct", pa.int64()),
+                ("n_total", pa.int64()),
+                ("diversity_bp", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query(
     "length_outliers",
     # robust MAD outlier cut: both medians are quantile_disc elements
     # (the pinned discrete rule), deviations and the 2x threshold are

@@ -167,3 +167,85 @@ def novelty_scores(
         )
 
     return folded.map_batches(add_novelty, batch_format="pyarrow")
+
+
+def ngram_diversity(
+    ds: Dataset,
+    *,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-source n-gram diversity — ``distinct n-grams / total
+    n-grams`` (the type-token-ratio-style audit that catches template
+    farms and generator loops: a boilerplate-heavy source scores low).
+
+    Scale shape (the `sources_per_lang` distinct-pair idiom on gram
+    HASHES): one ``map_batches`` rolls the shared 64-bit polynomial over
+    every within-doc window and folds in-batch to distinct
+    ``(source, gram-hash)`` pairs with their counts; ONE narrow two-key
+    groupby sums the pair counts; a tiny per-source rollup counts pairs
+    (= exact distinct, up to the documented 64-bit collision bound —
+    the `novelty.py` stance) and sums totals. ``diversity_bp`` is an
+    all-integer floor division, so the result is layout-invariant and
+    SQL-recomputable.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        starts, h, doc_idx = _ngram_hashes(flat, counts, n)
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "gh": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        src = np.asarray(
+            batch[source_col].to_pylist(), dtype=object
+        )[doc_idx]
+        df = pd.DataFrame({"source": src, "gh": h.view(np.int64)})
+        g = df.groupby(["source", "gh"], sort=False).size().reset_index(
+            name="cnt"
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(), type=pa.string()),
+                "gh": pa.array(g["gh"].to_numpy(), type=pa.int64()),
+                "cnt": pa.array(
+                    g["cnt"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "gh"])
+        .aggregate(Sum("cnt", alias_name="c"))
+    )
+    agg = pairs.groupby("source").aggregate(
+        Count(alias_name="n_distinct"), Sum("c", alias_name="n_total")
+    )
+
+    def add_ratio(batch: pa.Table) -> pa.Table:
+        nd = batch["n_distinct"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nt = batch["n_total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = (10_000 * nd) // nt
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_distinct": pa.array(nd, type=pa.int64()),
+                "n_total": pa.array(nt, type=pa.int64()),
+                "diversity_bp": pa.array(bp, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(add_ratio, batch_format="pyarrow")

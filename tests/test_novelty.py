@@ -4,8 +4,11 @@ layout invariance."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
+import ray.data
 import ray.data as rd
 
 from doppel_ray.stages import novelty
@@ -80,3 +83,80 @@ class TestNovelty:
     def test_validates_n(self, ray_session):
         with pytest.raises(ValueError):
             novelty.novelty_scores(_ds(NEW), _ds(INDEX, with_ids=False), n=0)
+
+
+class TestNgramDiversity:
+    @staticmethod
+    def _brute(df, n):
+        import re
+
+        rows = {}
+        for _, r in df.iterrows():
+            toks = re.findall(r"[^\t\n\f\r ]+", r.text or "")
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            d = rows.setdefault(r.source, {"s": set(), "t": 0})
+            d["s"].update(grams)
+            d["t"] += len(grams)
+        out = pd.DataFrame(
+            [
+                {
+                    "source": s,
+                    "n_distinct": len(d["s"]),
+                    "n_total": d["t"],
+                    "diversity_bp": (10_000 * len(d["s"])) // d["t"],
+                }
+                for s, d in rows.items()
+                if d["t"]
+            ]
+        ).astype(
+            {"n_distinct": np.int64, "n_total": np.int64, "diversity_bp": np.int64}
+        )
+        return out.sort_values("source", ignore_index=True)
+
+    def test_matches_brute_force_and_layout(self, ray_session):
+        from doppel_ray.stages.novelty import ngram_diversity
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(25)]
+        rows = []
+        for i in range(80):
+            toks = list(rng.choice(vocab, rng.integers(4, 20)))
+            if i % 2 == 0:
+                toks += ["rep", "rep", "rep", "rep"]  # boilerplate tail
+            rows.append(
+                {
+                    "doc_id": i,
+                    "source": f"s{i % 3}",
+                    "text": " ".join(toks),
+                }
+            )
+        df = pd.DataFrame(rows)
+        want = self._brute(df, 2)
+        for p in (1, 7):
+            got = (
+                ngram_diversity(
+                    ray.data.from_pandas(df).repartition(p), n=2
+                )
+                .to_pandas()
+                .sort_values("source", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
+
+    def test_unigram_mode_and_validation(self, ray_session):
+        from doppel_ray.stages.novelty import ngram_diversity
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "source": ["a", "a"],
+                "text": ["x x y", "y z"],
+            }
+        )
+        got = ngram_diversity(ray.data.from_pandas(df), n=1).to_pandas()
+        assert got.n_distinct.tolist() == [3] and got.n_total.tolist() == [5]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ngram_diversity(ray.data.from_pandas(df), n=0)
