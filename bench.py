@@ -267,6 +267,27 @@ def _query_specs(limit: int | None = None) -> dict:
         )
         return funnel_ledger(ds, clf.derived_weights(4096)).count()
 
+    def q_spanrm_pages():
+        # Lee et al. 2022 substring-level REMOVAL over the full pages
+        # corpus: duplicated 8-token windows keep their first occurrence,
+        # every other occurrence's tokens are excised and the docs are
+        # rebuilt (hash prefilter -> bucketed dup count -> survivor
+        # string verify -> bucketed min-key pairs -> vectorized rebuild)
+        import numpy as np
+        import pyarrow as pa
+
+        from doppel_ray.functions.hashing import sip64
+        from doppel_ray.stages.tokenwindows import remove_dup_spans
+
+        def add_id(batch):
+            ids = (sip64(batch["url"].to_pandas()) >> np.uint64(1)).astype(
+                np.int64
+            )
+            return batch.append_column("doc_id", pa.array(ids))
+
+        ds = read_pages(bench_dir).map_batches(add_id, batch_format="pyarrow")
+        return remove_dup_spans(ds, window=8).count()
+
     def q_tiered_pages():
         # the namesake ledger over the full pages corpus: url -> int64
         # id via sip64 (the incremental leg's idiom; "first" becomes
@@ -296,6 +317,7 @@ def _query_specs(limit: int | None = None) -> dict:
                 "incremental_pages": q_incremental_pages,
                 "tiered_pages": q_tiered_pages,
                 "funnel_pages": q_funnel_pages,
+                "spanrm_pages": q_spanrm_pages,
             }
         )
     else:

@@ -1025,7 +1025,7 @@ def url_dup_groups(sf_dir: str):
     ),
     g AS (
       SELECT span, count(*)::BIGINT AS cnt,
-             min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+             min(lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' ||
                  lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
       FROM spans GROUP BY span HAVING count(*) > 1
     )
@@ -2370,7 +2370,7 @@ def approx_token_quantiles(sf_dir: str):
     ),
     g AS (
       SELECT w, count(*)::BIGINT AS cnt,
-             min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+             min(lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' ||
                  lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
       FROM win GROUP BY w HAVING count(*) > 1
     )
@@ -2445,14 +2445,14 @@ def dup_token_window_groups(sf_dir: str):
     ),
     g AS (
       SELECT w,
-             min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+             min(lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' ||
                  lpad(CAST(pos AS VARCHAR), 7, '0')) AS fk
       FROM win GROUP BY w HAVING count(*) > 1
     ),
     rem AS (
       SELECT win.doc_id, win.pos
       FROM win JOIN g ON win.w = g.w
-      WHERE lpad(CAST(win.doc_id AS VARCHAR), 12, '0') || ':' ||
+      WHERE lpad(CAST(win.doc_id AS VARCHAR), 19, '0') || ':' ||
             lpad(CAST(win.pos AS VARCHAR), 7, '0') <> g.fk
     ),
     cov AS (

@@ -79,10 +79,10 @@ def dup_token_windows(
                 "win_text": batch["win_text"],
                 "cnt": batch["cnt"],
                 "first_doc": pa.array(
-                    fk.str.slice(0, 12).astype(np.int64), type=pa.int64()
+                    fk.str.slice(0, 19).astype(np.int64), type=pa.int64()
                 ),
                 "first_pos": pa.array(
-                    fk.str.slice(13).astype(np.int64), type=pa.int64()
+                    fk.str.slice(20).astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -120,13 +120,31 @@ def _dup_window_occurrences(
             }
         )
 
-    dup_hashes = (
-        narrow.map_batches(hash_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("c", alias_name="c"))
-        .filter(expr="c > 1")
-    )
+    # bucketed count instead of groupby("h").aggregate: Ray's sort-based
+    # aggregate over the ~22.5M-row partial relation measured 62 s on
+    # the 200k dup-heavy bench corpus; shuffling on a 64-value bucket
+    # key and resolving the per-hash sums with one in-bucket
+    # argsort+reduceat runs the same reduction at C speed (the
+    # bucketed_group_apply idiom). materialize_input keeps the
+    # compute-heavy tokenize+ngram map out of the shuffle operator.
+    from doppel_ray.stages.exact import bucketed_group_apply
     from doppel_ray.stages.util import collect_table
+
+    def per_bucket_dups(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, c = h[order], c[order]
+        edge = np.flatnonzero(np.diff(h)) + 1
+        starts_ = np.concatenate(([0], edge))
+        tot = np.add.reduceat(c, starts_) if len(c) else c
+        keys_ = h[starts_][tot > 1] if len(c) else h
+        return pa.table({"h": pa.array(keys_, type=pa.int64())})
+
+    partials = narrow.map_batches(hash_partial, batch_format="pyarrow")
+    dup_hashes = bucketed_group_apply(
+        partials, "h", per_bucket_dups, materialize_input=True
+    )
 
     t = collect_table(dup_hashes.select_columns(["h"]))
     keys = (
@@ -205,10 +223,10 @@ def remove_dup_spans(
         return pa.table(
             {
                 "doc_id": pa.array(
-                    rem.str.slice(0, 12).astype(np.int64), type=pa.int64()
+                    rem.str.slice(0, 19).astype(np.int64), type=pa.int64()
                 ),
                 "pos": pa.array(
-                    rem.str.slice(13).astype(np.int64), type=pa.int64()
+                    rem.str.slice(20).astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -293,53 +311,55 @@ def _rebuild_docs(
     text_col: str,
     id_col: str,
 ) -> pa.Table:
-    """Rewrite each doc with its removal windows excised. ``pair_doc``
-    MUST be sorted (pairs for docs outside this table are ignored, so
-    the broadcast regime can ship one global array). Unaffected docs
-    take the vectorized whitespace-normalized string; only affected docs
-    materialize Python token lists."""
-    from doppel_ray.stages.decontam import _WS_CHARS
-
+    """Rewrite each doc with its removal windows excised — fully
+    vectorized (a per-affected-doc Python join loop measured 92 s on the
+    200k dup-heavy bench corpus where most docs are affected): one
+    global keep mask over the flat token array, one filtered ListArray,
+    one Arrow ``binary_join``. ``pair_doc`` MUST be sorted (pairs for
+    docs outside this table are ignored, so the broadcast regime can
+    ship one global array)."""
     ids = doc_tbl[id_col].to_numpy(zero_copy_only=False)
     flat, counts = _flat_tokens(doc_tbl[text_col])
     doc_start = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=doc_start[1:])
-
-    arr = doc_tbl[text_col]
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    if pa.types.is_null(arr.type):
-        arr = arr.cast(pa.string())
-    norm = pc.utf8_trim(
-        pc.replace_substring_regex(
-            pc.fill_null(arr, ""), pattern=f"[{_WS_CHARS}]+", replacement=" "
-        ),
-        characters=_WS_CHARS,
-    )
-    texts = norm.to_pylist()
-    n_removed = np.zeros(len(ids), dtype=np.int64)
+    total = int(counts.sum())
 
     lo = np.searchsorted(pair_doc, ids, side="left")
     hi = np.searchsorted(pair_doc, ids, side="right")
-    for r in np.flatnonzero(hi > lo):
-        rel = pair_pos[lo[r] : hi[r]]
-        n_tok = int(counts[r])
-        if len(rel) and (rel.min() < 0 or int(rel.max()) + window > n_tok):
+    n_pairs_per_row = hi - lo
+    keep = np.ones(total, dtype=bool)
+    n_removed = np.zeros(len(ids), dtype=np.int64)
+    affected = np.flatnonzero(n_pairs_per_row > 0)
+    if len(affected):
+        # gather this table's pairs: row index + global window start
+        rows = np.repeat(affected, n_pairs_per_row[affected])
+        take = np.concatenate(
+            [np.arange(lo[r], hi[r]) for r in affected]
+        )
+        rel = pair_pos[take]
+        if rel.min() < 0 or np.any(rel + window > counts[rows]):
+            bad = rows[np.argmax(rel + window > counts[rows])]
             raise ValueError(
-                f"removal window out of range for doc {ids[r]}: "
-                f"pos {int(rel.max())} + {window} > {n_tok} tokens "
+                f"removal window out of range for doc {ids[bad]} "
                 "(tokenization mismatch between passes)"
             )
-        keep = np.ones(n_tok, dtype=bool)
-        cover = (rel[:, None] + np.arange(window, dtype=np.int64)).ravel()
+        gstart = doc_start[rows] + rel
+        cover = (gstart[:, None] + np.arange(window, dtype=np.int64)).ravel()
         keep[cover] = False
-        n_removed[r] = n_tok - int(keep.sum())
-        toks = flat.slice(int(doc_start[r]), n_tok)
-        texts[r] = " ".join(toks.filter(pa.array(keep)).to_pylist())
+        removed_idx = np.flatnonzero(~keep)
+        row_of = np.searchsorted(doc_start, removed_idx, side="right") - 1
+        n_removed = np.bincount(row_of, minlength=len(ids)).astype(np.int64)
+
+    kept_counts = counts - n_removed
+    offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    kept = flat.filter(pa.array(keep))
+    texts = _list_join(kept, offsets)
 
     return pa.table(
         {
             id_col: pa.array(ids, type=pa.int64()),
-            text_col: pa.array(texts, type=pa.string()),
+            text_col: texts.cast(pa.string()),
             "n_tokens": pa.array(counts, type=pa.int64()),
             "n_removed": pa.array(n_removed, type=pa.int64()),
         }
@@ -374,17 +394,59 @@ def _make_survivor_fn(text_col, id_col, window, ref, exact: bool):
         np.cumsum(counts[:-1], out=doc_start[1:])
         pos = starts - doc_start[doc_idx]
         ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
-        # only survivor windows (bounded by dup volume) ever materialize
-        # Python token strings — same stance as decontam._NgramMatcher
-        wins = [
-            " ".join(flat.slice(int(s), window).to_pylist()) for s in starts
-        ]
-        key = [f"{int(d):012d}:{int(p):07d}" for d, p in zip(ids, pos)]
+        if len(ids) and (int(ids.min()) < 0 or int(pos.max()) >= 10**7):
+            raise ValueError(
+                "doc ids must be non-negative and token positions < 1e7 "
+                "for the zero-padded (doc, pos) first-occurrence key"
+            )
+        # survivor window strings fully vectorized: gather the window
+        # tokens into a ListArray and let Arrow's C binary_join build
+        # them (a per-window Python " ".join was the measured hot spot
+        # on dup-heavy corpora: 92 s -> see module history)
+        wins = _join_windows(flat, starts, window)
+        key = _doc_pos_keys(ids, pos)
         return pa.table(
             {
-                "win_text": pa.array(wins, type=pa.string()),
+                "win_text": wins,
                 "key": pa.array(key, type=pa.string()),
             }
         )
 
     return fn
+
+
+def _join_windows(flat: pa.Array, starts: np.ndarray, window: int) -> pa.Array:
+    """Space-joined window strings, vectorized: one fancy-index gather +
+    one Arrow ``binary_join`` over a synthetic ListArray."""
+    idx = (starts[:, None] + np.arange(window, dtype=np.int64)).ravel()
+    toks = flat.take(pa.array(idx, type=pa.int64()))
+    offsets = np.arange(
+        0, (len(starts) + 1) * window, window, dtype=np.int64
+    )
+    return _list_join(toks, offsets)
+
+
+def _list_join(values: pa.Array, offsets: np.ndarray) -> pa.Array:
+    """binary_join with the kernel-matching list family: Arrow only
+    ships (list<string>, string) and (large_list<large_string>,
+    large_string) kernels."""
+    if pa.types.is_large_string(values.type):
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), values
+        )
+        return pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()), values
+    )
+    return pc.binary_join(lists, " ")
+
+
+def _doc_pos_keys(ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Zero-padded ``doc:pos`` sort keys at C speed (np.char kernels)."""
+    return np.char.add(
+        np.char.add(
+            np.char.zfill(ids.astype(np.int64).astype("U"), 19),
+            np.array(":", dtype="U1"),
+        ),
+        np.char.zfill(pos.astype(np.int64).astype("U"), 7),
+    ).astype(object)

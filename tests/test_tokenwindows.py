@@ -25,14 +25,14 @@ def _brute(df: pd.DataFrame, w: int) -> pd.DataFrame:
             rows.append(
                 {
                     "win_text": " ".join(toks[i : i + w]),
-                    "key": f"{int(r.doc_id):012d}:{i:07d}",
+                    "key": f"{int(r.doc_id):019d}:{i:07d}",
                 }
             )
     win = pd.DataFrame(rows)
     g = win.groupby("win_text").agg(cnt=("key", "size"), fk=("key", "min"))
     g = g[g.cnt > 1].reset_index()
-    g["first_doc"] = g.fk.str.slice(0, 12).astype(np.int64)
-    g["first_pos"] = g.fk.str.slice(13).astype(np.int64)
+    g["first_doc"] = g.fk.str.slice(0, 19).astype(np.int64)
+    g["first_pos"] = g.fk.str.slice(20).astype(np.int64)
     return g.drop(columns="fk").sort_values("win_text", ignore_index=True)
 
 
