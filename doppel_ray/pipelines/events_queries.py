@@ -551,3 +551,75 @@ def cohort_retention(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "segment_event_values",
+    # skew-join regime: events x customer on user_id with hot_threshold
+    # 80 — the busiest users (>80 events at sf0.01) take the broadcast
+    # hot path, the rest the bucketed hash join, so BOTH paths are
+    # exercised by the driver run. Values in floor-cents (the
+    # pricing_summary integer stance).
+    """
+    SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(e.value * 100) AS BIGINT))::BIGINT AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def segment_event_values(sf_dir: str):
+    """Per-market-segment event rollup through the HOT-KEY-SPLIT join
+    (stages/skew.py skew_join — Spark-AQE-style skew mitigation: keys
+    above hot_threshold broadcast their dimension rows and merge
+    map-side with zero shuffle; cold keys take the ordinary bucketed
+    hash join)."""
+    from ray.data.aggregate import Count, Sum
+
+    from doppel_ray.sources.parquet import read_table
+    from doppel_ray.stages.skew import skew_join
+
+    events = read_events(sf_dir, columns=["user_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {"user_id": batch["user_id"], "value_cents": cents}
+        )
+
+    left = events.map_batches(to_cents, batch_format="pyarrow")
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = skew_join(
+        left, cust,
+        on="user_id", left_cols=["value_cents"],
+        right_cols=["c_mktsegment"], how="inner", hot_threshold=80,
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mktsegment": batch["c_mktsegment"],
+                "n_events": batch["n_events"],
+                "value_cents": batch["value_cents"],
+            }
+        )
+
+    return finalize(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("mktsegment", pa.string()),
+                ("n_events", pa.int64()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
+    )

@@ -95,3 +95,151 @@ def salted_aggregate(
         lambda b: b.select([c for c in keep if c in b.column_names]),
         batch_format="pyarrow",
     )
+
+
+#: left-side rows of a key above which the key takes the broadcast path
+DEFAULT_HOT_THRESHOLD = 2_000_000
+
+#: hot right-side rows above which skew_join refuses to broadcast
+HOT_BROADCAST_LIMIT = 5_000_000
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    broadcast_limit: int = HOT_BROADCAST_LIMIT,
+    num_buckets: int = 32,
+) -> Dataset:
+    """Hot-key-split equi-join — `joins.hash_join` semantics with the
+    straggler removed: keys whose LEFT-side row count exceeds
+    ``hot_threshold`` would pin one reduce task's heap and wall-clock
+    (hash_join's documented partitioning assumption), so their rows skip
+    the exchange entirely — the matching RIGHT rows broadcast once
+    (``ray.put``, guarded by ``broadcast_limit``) and the hot left rows
+    merge map-side with zero shuffle. Cold keys take the ordinary
+    bucketed hash join; the two result streams union.
+
+    Same split-by-frequency idea as the salted aggregate above, applied
+    to joins (Spark AQE's skew-join mitigation shape). Cost: one extra
+    key-only count pass (combiner-first, bucketed reduction). ``how`` is
+    'inner' or 'left' — full outer needs unmatched-RIGHT accounting
+    across the split and is refused toward plain hash_join.
+    """
+    import ray
+
+    from doppel_ray.stages.exact import bucketed_group_apply
+    from doppel_ray.stages.joins import hash_join
+    from doppel_ray.stages.util import collect_table
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how!r}")
+    if hot_threshold < 1:
+        raise ValueError("hot_threshold must be >= 1")
+
+    key_t = None  # resolved from the first counts batch
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([on]).aggregate([([], "count_all")])
+        return g.rename_columns([on, "c"])
+
+    def per_bucket_hot(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        tot = df.groupby(on, sort=False)["c"].sum()
+        hot = tot[tot > hot_threshold]
+        return pa.table(
+            {on: pa.array(hot.index.to_numpy(), type=t.schema.field(on).type)}
+        )
+
+    counts = left.select_columns([on]).map_batches(
+        count_partial, batch_format="pyarrow"
+    )
+    hot_tbl = collect_table(
+        bucketed_group_apply(
+            counts, on, per_bucket_hot, materialize_input=True
+        )
+    )
+    if hot_tbl.num_rows == 0:
+        return hash_join(
+            left, right,
+            on=on, left_cols=left_cols, right_cols=right_cols,
+            how=how, num_buckets=num_buckets,
+        )
+
+    hot_keys = hot_tbl[on]
+
+    def is_hot(batch: pa.Table, invert: bool = False) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[on], value_set=hot_keys)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    right_hot = collect_table(
+        right.map_batches(
+            lambda b: is_hot(b), batch_format="pyarrow"
+        ).select_columns([on] + right_cols)
+    )
+    if right_hot.num_rows > broadcast_limit:
+        raise ValueError(
+            f"skew_join: {right_hot.num_rows} hot right rows exceed "
+            f"broadcast_limit {broadcast_limit}; the 'hot' side is not "
+            "dimension-shaped — use hash_join and accept the straggler"
+        )
+    right_ref = ray.put(right_hot)
+
+    cold = hash_join(
+        left.map_batches(
+            lambda b: is_hot(b, invert=True), batch_format="pyarrow"
+        ),
+        right.map_batches(
+            lambda b: is_hot(b, invert=True), batch_format="pyarrow"
+        ),
+        on=on, left_cols=left_cols, right_cols=right_cols,
+        how=how, num_buckets=num_buckets,
+    )
+
+    from doppel_ray.stages.joins import _arrow_type
+
+    out_cols = [on] + left_cols + right_cols
+    out_schema = pa.schema(
+        [(on, _arrow_type(left, on))]
+        + [(c, _arrow_type(left, c)) for c in left_cols]
+        + [(c, _arrow_type(right, c)) for c in right_cols]
+    )
+
+    def hot_merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from doppel_ray.stages.util import cached_get
+
+        lb = is_hot(batch).select([on] + left_cols)
+        if lb.num_rows == 0:
+            return out_schema.empty_table()
+        # ArrowDtype through the merge: the numpy path promotes ints to
+        # float64 for unmatched-left NaNs (hash_join's 2^53 hazard)
+        rdf = cached_get(right_ref)
+        merged = lb.to_pandas(types_mapper=pd.ArrowDtype).merge(
+            rdf.to_pandas(types_mapper=pd.ArrowDtype), on=on, how=how
+        )
+        return pa.Table.from_pandas(
+            merged[out_cols], preserve_index=False
+        ).cast(out_schema)
+
+    hot_joined = left.map_batches(hot_merge, batch_format="pyarrow")
+
+    def conform(batch: pa.Table) -> pa.Table:
+        # union requires bit-identical schemas
+        return batch.select(out_cols).cast(out_schema)
+
+    return cold.map_batches(conform, batch_format="pyarrow").union(
+        hot_joined.map_batches(conform, batch_format="pyarrow")
+    )
