@@ -1900,6 +1900,61 @@ def shared_tokens(sf_dir: str):
     return finalize(out, pa.schema([("tok", pa.string())]))
 
 
+@query("approx_sources_per_lang")  # rows-only: HLL estimate (no SQL
+# analog); the result is DETERMINISTIC (md5 register folds, max-merge)
+# and carries an in-query accuracy contract: the exact distinct rides
+# along and the query RAISES past 5% relative error (p=12 sigma ~1.6%)
+def approx_sources_per_lang(sf_dir: str):
+    """Approximate COUNT(DISTINCT source) per lang via per-group
+    HyperLogLog registers (stages/hashes.py grouped_approx_distinct) —
+    the scale path when groups x values outgrows the exact distinct-pair
+    shuffle. Shuffle volume is groups x blocks x 4 KiB, value-cardinality
+    independent."""
+    from doppel_ray.stages.hashes import grouped_approx_distinct
+
+    ds = read_documents(sf_dir, columns=["lang", "source"])
+    approx = {
+        r["lang"]: r["approx_distinct"]
+        for r in grouped_approx_distinct(ds, "lang", "source", p=12).take_all()
+    }
+    exact_rows = (
+        ds.groupby(["lang", "source"])
+        .count()
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    exact = {r["lang"]: r["count()"] for r in exact_rows}
+    rows = []
+    for lang in sorted(exact):
+        a, e = int(approx.get(lang, 0)), int(exact[lang])
+        err_bp = abs(a - e) * 10_000 // max(e, 1)
+        if err_bp > 500:
+            raise AssertionError(
+                f"grouped HLL error {err_bp} bp for lang {lang!r} exceeds "
+                "the 5% contract"
+            )
+        rows.append(
+            {
+                "lang": lang,
+                "approx_distinct": a,
+                "exact_distinct": e,
+                "err_bp": int(err_bp),
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("lang", pa.string()),
+                ("approx_distinct", pa.int64()),
+                ("exact_distinct", pa.int64()),
+                ("err_bp", pa.int64()),
+            ]
+        ),
+    )
+
+
 @query(
     "ngram_diversity_by_source",
     # distinct-vs-total trigram ratio per source; the engine dedupes on

@@ -128,3 +128,80 @@ def approx_quantiles(
         for buf in b["s"].to_pylist():
             merged = merged.merge(SK.BottomKSample.from_bytes(buf, k))
     return [(p, merged.quantile(p)) for p in ps]
+
+
+def grouped_approx_distinct(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    p: int = 12,
+    num_buckets: int = 64,
+):
+    """Approximate ``COUNT(DISTINCT value) GROUP BY group`` via per-group
+    HyperLogLog registers — the scale path when groups x values is too
+    large for the exact distinct-pair shuffle (`sources_per_lang`'s
+    shape): per batch, each group folds its values into a 2^p register
+    array and ships ONE ``(group, registers)`` row; a bucketed group
+    shuffle max-merges the register arrays at C speed. Shuffle volume is
+    ``groups x blocks x 2^p`` bytes — structure-bounded, independent of
+    value cardinality.
+
+    Returns a Dataset of ``(group_col, approx_distinct)`` with int64
+    estimates (~1.6% relative error at p=12, the same HLL kernel whose
+    accuracy is pinned in tests/test_sketch.py).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from doppel_ray.functions import sketch as SK
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_pandas(),
+            }
+        )
+        groups, regs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            reg = SK.empty_registers(p)
+            SK.add_values(reg, sub["v"], p=p)
+            groups.append(g)
+            regs.append(reg.tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(groups, type=batch[group_col].type),
+                "reg": pa.array(regs, type=pa.large_binary()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_g, out_n = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            stacked = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in sub["reg"]]
+            )
+            merged = stacked.max(axis=0)
+            out_g.append(g)
+            out_n.append(int(round(SK.estimate(merged))))
+        return pa.table(
+            {
+                group_col: pa.array(out_g, type=t.schema.field(group_col).type),
+                "approx_distinct": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        partials, group_col, per_bucket, num_buckets=num_buckets,
+        materialize_input=True,
+    )

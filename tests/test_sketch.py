@@ -254,3 +254,45 @@ class TestBottomKSample:
             rd.from_pandas(df).repartition(3), "v", "id", [0.5, 0.9]
         )
         assert est == est2
+
+
+class TestGroupedApproxDistinct:
+    def test_accuracy_and_layout_invariance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from doppel_ray.stages.hashes import grouped_approx_distinct
+
+        rng = np.random.default_rng(7)
+        # three groups with very different value cardinalities
+        rows = []
+        for g, card in (("a", 50), ("b", 2000), ("c", 12000)):
+            vals = rng.integers(0, card, card * 3)
+            rows += [{"g": g, "v": f"{g}-{int(v)}"} for v in vals]
+        df = pd.DataFrame(rows)
+        exact = df.groupby("g")["v"].nunique()
+        outs = []
+        for p_ in (1, 9):
+            got = (
+                grouped_approx_distinct(
+                    rd.from_pandas(df).repartition(p_), "g", "v", p=12
+                )
+                .to_pandas()
+                .sort_values("g", ignore_index=True)
+            )
+            outs.append(got)
+            for _, r in got.iterrows():
+                assert abs(r.approx_distinct - exact[r.g]) <= 0.05 * exact[r.g]
+        # deterministic: register folds are md5-based, merge is max
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_validation(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from doppel_ray.stages.hashes import grouped_approx_distinct
+
+        df = pd.DataFrame({"g": ["a"], "v": ["x"]})
+        with _pytest.raises(ValueError):
+            grouped_approx_distinct(rd.from_pandas(df), "g", "v", p=2)
