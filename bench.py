@@ -465,6 +465,7 @@ def _query_specs_names() -> list[str]:
             "incremental_pages",
             "tiered_pages",
             "funnel_pages",
+            "spanrm_pages",
         ]
     else:
         names += ["simhash_pages", "decontam_pages"]

@@ -695,3 +695,66 @@ def pii_redaction(sf_dir: str):
             ]
         ),
     )
+
+
+from doppel_ray.stages import mojibake as _mj
+
+#: deterministic mojibake splice by doc_id % 4 (3 -> clean), built
+#: from the rule constants so it can't drift; shared verbatim with
+#: the SQL CASE below so both engines see the same text
+_MJ_SPLICES: dict[int, str] = {
+    0: " caf" + _mj.MOJIBAKE_FIXES[3][0] + " menu",      # Ã©
+    1: " don" + _mj.MOJIBAKE_FIXES[0][0] + "t stop",     # â€™
+    2: " na" + _mj.MOJIBAKE_FIXES[9][0] + "ve"           # Ã¯
+       + _mj.MOJIBAKE_FIXES[10][0] + "plan",             # Â<nbsp>
+}
+
+
+def _mj_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN '" + v.replace("'", "''") + "'"
+        for k, v in _MJ_SPLICES.items()
+    )
+    return f"(text || CASE doc_id % 4 {whens} ELSE '' END)"
+
+
+@query(
+    "mojibake_repair",
+    f"""
+    WITH v AS (SELECT doc_id, {_mj_case_sql()} AS t FROM documents)
+    SELECT doc_id,
+           {_mj.fixed_sql('t')} AS text_fixed,
+           {_mj.count_sql('t')} AS n_mojibake
+    FROM v
+    """,
+)
+def mojibake_repair(sf_dir: str):
+    """Encoding repair (ftfy-lite): fix UTF-8-as-Latin-1 mojibake via a
+    fixed literal-replacement chain and count hits before rewriting
+    (stages/mojibake.py — pure vectorized Arrow kernels, zero shuffle).
+    Non-vacuous via a deterministic mojibake splice derived from doc_id
+    on both engines (3 of every 4 docs get one)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        frag = pa.array(
+            [_MJ_SPLICES.get(int(i) % 4, "") for i in ids],
+            type=pa.string(),
+        )
+        t = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()), frag, ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    out = _mj.fix_mojibake(ds.map_batches(augment, batch_format="pyarrow"))
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_fixed", pa.string()),
+                ("n_mojibake", pa.int64()),
+            ]
+        ),
+    )
