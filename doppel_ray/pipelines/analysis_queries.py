@@ -2983,6 +2983,86 @@ def _pagerank_sql(num_iters: int = 3) -> str:
     return "".join(parts)
 
 
+def _trustrank_sql(num_iters: int = 3) -> str:
+    """Unrolled integer-TRUSTRANK oracle (Gyongyi et al. 2004): same
+    graph and integer arithmetic as `_pagerank_sql`, but the teleport
+    mass lands only on the seed whitelist (doc_id % 50 = 0): initial
+    rank = scale on seeds / 0 elsewhere, per-iteration base term only
+    on seeds."""
+    parts = [
+        """
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 31 + i * 7) % (SELECT n FROM nn) AS dst
+      FROM documents, UNNEST(generate_series(1, 3)) AS t(i)
+    ),
+    outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+    it0 AS (SELECT doc_id AS node,
+                   (CASE WHEN doc_id % 50 = 0 THEN 1000000
+                         ELSE 0 END)::BIGINT AS r
+            FROM documents)
+    """
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(
+            f"""
+    , s{k} AS (
+      SELECT e.dst AS node, sum(p.r // o.od)::BIGINT AS c
+      FROM edges e
+      JOIN it{k - 1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY 1
+    ),
+    it{k} AS (
+      SELECT d.doc_id AS node,
+             ((CASE WHEN d.doc_id % 50 = 0 THEN 150000 ELSE 0 END)
+              + (85 * COALESCE(s.c, 0)) // 100)::BIGINT AS r
+      FROM documents d
+      LEFT JOIN s{k} s ON s.node = d.doc_id
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT node, r AS rank FROM it{num_iters} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+@query("trustrank_scores", _trustrank_sql(3))
+def trustrank_scores(sf_dir: str):
+    """TrustRank (seed-personalized PageRank, the spam-demotion
+    classic): teleport mass restricted to a curated seed whitelist
+    (doc_id % 50 = 0 here), so authority flows outward from vetted
+    nodes and link farms unreachable from seeds decay to 0. Same
+    all-integer contract and both execution regimes as
+    stages/graph.pagerank (seeds broadcast; they are small by
+    definition)."""
+    from doppel_ray.stages import graph
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        i = np.tile(np.arange(1, 4, dtype=np.int64), len(ids))
+        dst = (src * 31 + i * 7) % n
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    out = graph.pagerank(
+        edges, num_iters=3, seeds=np.arange(0, n, 50, dtype=np.int64)
+    )
+    return finalize(
+        out, pa.schema([("node", pa.int64()), ("rank", pa.int64())])
+    )
+
+
 @query("pagerank_scores", _pagerank_sql(3))
 def pagerank_scores(sf_dir: str):
     """Link-authority ranking: 3 iterations of all-integer PageRank

@@ -77,15 +77,30 @@ def pagerank(
     dst_col: str = "dst",
     broadcast_limit: int = BROADCAST_NODE_LIMIT,
     num_buckets: int = 32,
+    seeds=None,
 ) -> Dataset:
     """Integer PageRank over ``edges``; returns ``(node, rank)`` int64
-    for every node appearing as src or dst."""
+    for every node appearing as src or dst.
+
+    ``seeds`` switches the computation to TRUSTRANK (Gyongyi et al.
+    2004): the teleport mass lands only on the seed whitelist (initial
+    ranks = ``scale`` on seeds, 0 elsewhere; per-iteration base term
+    only on seeds), so trust flows outward along links from vetted
+    nodes and spam farms unreachable from seeds converge to 0. Seeds
+    are by definition a small curated list, so they broadcast in both
+    regimes; same all-integer contract (bit-identical at any layout,
+    SQL-unrollable)."""
     if num_iters < 1:
         raise ValueError("num_iters must be >= 1")
     if not (0 < damp_num < damp_den):
         raise ValueError("need 0 < damp_num < damp_den")
     if scale < damp_den:
         raise ValueError("scale must be >= damp_den")
+    seed_arr = None
+    if seeds is not None:
+        seed_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+        if len(seed_arr) == 0:
+            raise ValueError("seeds must be non-empty when given")
 
     edges = edges.select_columns([src_col, dst_col]).materialize()
 
@@ -154,6 +169,7 @@ def pagerank(
             damp_den=damp_den,
             src_col=src_col,
             dst_col=dst_col,
+            seed_arr=seed_arr,
         )
     return _pagerank_distributed(
         edges,
@@ -167,6 +183,7 @@ def pagerank(
         dst_col=dst_col,
         num_buckets=num_buckets,
         n_nodes=n_nodes_known,
+        seed_arr=seed_arr,
     )
 
 
@@ -181,9 +198,16 @@ def _pagerank_broadcast(
     damp_den: int,
     src_col: str,
     dst_col: str,
+    seed_arr: np.ndarray | None = None,
 ) -> Dataset:
     base = ((damp_den - damp_num) * scale) // damp_den
-    ranks = np.full(len(node_ids), scale, dtype=np.int64)
+    if seed_arr is None:
+        base_vec = np.full(len(node_ids), base, dtype=np.int64)
+        ranks = np.full(len(node_ids), scale, dtype=np.int64)
+    else:
+        mask = np.isin(node_ids, seed_arr)
+        base_vec = np.where(mask, base, 0).astype(np.int64)
+        ranks = np.where(mask, scale, 0).astype(np.int64)
     ids_ref = ray.put(node_ids)
     od_ref = ray.put(od)
 
@@ -223,7 +247,7 @@ def _pagerank_broadcast(
                 node_ids, _int64(b["node"].to_numpy(zero_copy_only=False))
             )
             s[pos] = _int64(b["c"].to_numpy(zero_copy_only=False))
-        ranks = base + (damp_num * s) // damp_den
+        ranks = base_vec + (damp_num * s) // damp_den
 
     return ray.data.from_arrow(
         pa.table(
@@ -248,10 +272,22 @@ def _pagerank_distributed(
     dst_col: str,
     num_buckets: int,
     n_nodes: int,
+    seed_arr: np.ndarray | None = None,
 ) -> Dataset:
+    import ray as _ray
+
     from doppel_ray.stages.joins import hash_join
 
     base = ((damp_den - damp_num) * scale) // damp_den
+    seed_ref = _ray.put(seed_arr) if seed_arr is not None else None
+
+    def _seed_mask(node_col: pa.Array) -> np.ndarray:
+        from doppel_ray.stages.util import cached_get
+
+        sa = cached_get(seed_ref)
+        return np.isin(
+            _int64(node_col.to_numpy(zero_copy_only=False)), sa
+        )
 
     # (node, od) relation; a missing node here = dangling -> raise
     od_rel = outdeg.map_batches(
@@ -269,17 +305,16 @@ def _pagerank_distributed(
             "self-loops for the absorbing treatment"
         )
 
-    ranks = nodes.map_batches(
-        lambda b: pa.table(
-            {
-                "node": b["node"],
-                "r": pa.array(
-                    np.full(len(b), scale, dtype=np.int64), type=pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def init_ranks(b: pa.Table) -> pa.Table:
+        if seed_ref is None:
+            r = np.full(b.num_rows, scale, dtype=np.int64)
+        else:
+            r = np.where(_seed_mask(b["node"]), scale, 0).astype(np.int64)
+        return pa.table(
+            {"node": b["node"], "r": pa.array(r, type=pa.int64())}
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
     for _ in range(num_iters):
         # contrib_unit per node: r // od
@@ -334,11 +369,17 @@ def _pagerank_distributed(
                     pc.cast(b["c"], pa.int64()), 0
                 ).to_numpy(zero_copy_only=False)
             )
+            if seed_ref is None:
+                bv = base
+            else:
+                bv = np.where(_seed_mask(b["node"]), base, 0).astype(
+                    np.int64
+                )
             return pa.table(
                 {
                     "node": b["node"],
                     "r": pa.array(
-                        base + (damp_num * c) // damp_den, type=pa.int64()
+                        bv + (damp_num * c) // damp_den, type=pa.int64()
                     ),
                 }
             )

@@ -123,3 +123,69 @@ class TestPageRank:
             graph.pagerank(ds, scale=10)
         with pytest.raises(ValueError, match="non-negative"):
             graph.pagerank(_edges_ds([(-1, 0), (0, -1)]), num_iters=1)
+
+
+def _reference_trust(edges, seeds, num_iters, scale=SCALE, dn=85, dd=100):
+    nodes = sorted({v for e in edges for v in e})
+    seeds = set(seeds)
+    od = {v: 0 for v in nodes}
+    for s, _ in edges:
+        od[s] += 1
+    base = ((dd - dn) * scale) // dd
+    r = {v: (scale if v in seeds else 0) for v in nodes}
+    for _ in range(num_iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // od[a]
+        r = {
+            v: (base if v in seeds else 0) + (dn * s[v]) // dd
+            for v in nodes
+        }
+    return r
+
+
+class TestTrustRank:
+    def test_matches_reference(self, ray_session):
+        edges = _ring_with_chords(30)
+        seeds = [0, 7, 13]
+        got = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(
+                _edges_ds(edges, 4), num_iters=4, seeds=seeds
+            ).take_all()
+        }
+        assert got == _reference_trust(edges, seeds, 4)
+
+    def test_broadcast_equals_distributed(self, ray_session):
+        edges = _ring_with_chords(25)
+        seeds = [2, 11]
+        a = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(
+                _edges_ds(edges, 3), num_iters=3, seeds=seeds
+            ).take_all()
+        }
+        b = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(
+                _edges_ds(edges, 3), num_iters=3, seeds=seeds,
+                broadcast_limit=0,
+            ).take_all()
+        }
+        assert a == b
+
+    def test_unreachable_nodes_stay_zero(self, ray_session):
+        # two disjoint 3-cycles; seeds only in the first
+        edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+        got = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(
+                _edges_ds(edges), num_iters=5, seeds=[0]
+            ).take_all()
+        }
+        assert got[10] == got[11] == got[12] == 0
+        assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+    def test_empty_seeds_raise(self, ray_session):
+        with pytest.raises(ValueError, match="seeds"):
+            graph.pagerank(_edges_ds([(0, 1), (1, 0)]), seeds=[])
