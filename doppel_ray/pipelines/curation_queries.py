@@ -758,3 +758,100 @@ def mojibake_repair(sf_dir: str):
             ]
         ),
     )
+
+
+#: 128-char intro (2 aligned 64-char blocks) shared by every third doc
+#: — makes corpus-wide duplicated blocks non-vacuous on both engines
+_BLK_INTRO = "HDR0" * 32
+
+
+@query(
+    "block_dedup_stats",
+    f"""
+    WITH aug AS (
+      SELECT source,
+             CASE WHEN doc_id % 3 = 0 THEN '{_BLK_INTRO}' || text
+                  ELSE text END AS t
+      FROM documents
+    ),
+    blocks AS (
+      SELECT source, md5_number_upper(substr(t, i, 64)) AS h
+      FROM aug, UNNEST(generate_series(1, length(t), 64)) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM blocks GROUP BY h HAVING count(*) > 1
+    )
+    SELECT source, count(*)::BIGINT AS n_blocks,
+           count(*) FILTER (WHERE h IN (SELECT h FROM dup))::BIGINT
+             AS n_dup_blocks
+    FROM blocks GROUP BY source
+    """,
+)
+def block_dedup_stats(sf_dir: str):
+    """Sub-file storage dedup, fixed-block baseline (stages/cdc.py
+    block_dedup_stats): 64-char blocks hashed with the shared md5-low64
+    kernel, corpus-wide duplicated-block set via the bucketed count +
+    broadcast, per-source rollup in a second streaming pass — payload
+    text never shuffles. Non-vacuous via a 128-char intro prepended to
+    every third doc on both engines."""
+    from doppel_ray.stages.cdc import block_dedup_stats as _bds
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        frag = pa.array(
+            [(_BLK_INTRO if int(i) % 3 == 0 else "") for i in ids],
+            type=pa.string(),
+        )
+        t = pc.binary_join_element_wise(
+            frag, pc.cast(batch["text"], pa.string()), ""
+        )
+        return pa.table({"source": batch["source"], "text": t})
+
+    out = _bds(ds.map_batches(augment, batch_format="pyarrow"), block=64)
+    return finalize(
+        out,
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_blocks", pa.int64()),
+                ("n_dup_blocks", pa.int64()),
+            ]
+        ),
+    )
+
+
+@query("cdc_dedup_report")  # rows-only: byte-level content-defined
+# chunk boundaries have no SQL analog; the boundary rule and every
+# count are pinned against a pure-Python reference chunker in
+# tests/test_cdc.py, and the report is all-integer + layout-invariant
+def cdc_dedup_report(sf_dir: str):
+    """Content-defined-chunking dedup report (stages/cdc.py): each doc
+    becomes a binary payload with a 512-byte shared header on every
+    third doc (template-sharing pages); FastCDC-style chunking (rolling
+    16-byte window hash, 6-bit boundary mask, 32-byte min), one
+    bucketed chunk-hash count, ONE corpus report row with bytes saved
+    by storing each distinct chunk once."""
+    from doppel_ray.stages.cdc import cdc_dedup_stats
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    header = (b"<tpl>" + b"HDRB" * 126 + b"</t>")  # 512 bytes
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        payload = [
+            (header if int(i) % 3 == 0 else b"") + (t or "").encode()
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array(payload, type=pa.binary()),
+            }
+        )
+
+    return cdc_dedup_stats(
+        ds.map_batches(to_payload, batch_format="pyarrow"),
+    )
