@@ -2983,6 +2983,58 @@ def _pagerank_sql(num_iters: int = 3) -> str:
     return "".join(parts)
 
 
+@query(
+    "doc_bin_packing",
+    # next-fit-decreasing inside md5 hash buckets: the recursive CTE
+    # walks each bucket's (len DESC, doc_id) order exactly as the
+    # engine's per-bucket pass does — both all-integer, hash-exact.
+    """
+    WITH RECURSIVE lens AS (
+      SELECT doc_id, n_chars AS len,
+             CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8
+                  AS BIGINT) AS bucket
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, len, bucket,
+             row_number() OVER (
+               PARTITION BY bucket ORDER BY len DESC, doc_id
+             ) AS rn
+      FROM lens
+    ),
+    packed AS (
+      SELECT doc_id, len, bucket, rn, 0::BIGINT AS bin, len AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.len, o.bucket, o.rn,
+             CASE WHEN p.fill + o.len > 2000 THEN p.bin + 1
+                  ELSE p.bin END,
+             CASE WHEN p.fill + o.len > 2000 THEN o.len
+                  ELSE p.fill + o.len END
+      FROM ordered o JOIN packed p
+        ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, bucket, bin FROM packed
+    """,
+)
+def doc_bin_packing(sf_dir: str):
+    """Doc-integral training-batch packing: whole documents into
+    2000-char bins via next-fit-decreasing inside 8 md5 hash buckets
+    (stages/packing.py pack_bins_nfd — ONE bucketed shuffle of the
+    narrow (id, len) relation; the order-dependent walk is the
+    per-bucket unit of parallelism)."""
+    from doppel_ray.stages.packing import pack_bins_nfd
+
+    ds = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = pack_bins_nfd(ds, 2000, len_col="n_chars", num_buckets=8)
+    return finalize(
+        out,
+        pa.schema(
+            [("doc_id", pa.int64()), ("bucket", pa.int64()), ("bin", pa.int64())]
+        ),
+    )
+
+
 def _trustrank_sql(num_iters: int = 3) -> str:
     """Unrolled integer-TRUSTRANK oracle (Gyongyi et al. 2004): same
     graph and integer arithmetic as `_pagerank_sql`, but the teleport

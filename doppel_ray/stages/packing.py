@@ -178,3 +178,97 @@ def pack_token_stream(
         )
 
     return bucketed_group_apply(narrow, "rng", emit)
+
+
+def pack_bins_nfd(
+    ds: Dataset,
+    capacity: int,
+    *,
+    len_col: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 8,
+) -> Dataset:
+    """Doc-INTEGRAL bin packing (cf. "best-fit packing", Ding et al.
+    2024): assign whole documents to bins of at most ``capacity`` length
+    units with next-fit-decreasing inside hash buckets — the packing
+    regime that avoids `pack_token_stream`'s cross-document truncation
+    at the cost of some slack per bin.
+
+    Determinism/scale contract: bucket = md5_low64(str(id)) %
+    ``num_buckets`` (the sampler hash, == DuckDB ``md5_number_upper``),
+    docs order by (len DESC, id) within the bucket, and the next-fit
+    walk is a pure function of that order — so the assignment is
+    bit-identical at any block layout and SQL-recomputable with a
+    recursive CTE. ONE bucketed shuffle of the narrow (id, len)
+    relation; the per-bucket walk is sequential by nature (packing is
+    order-dependent), so ``num_buckets`` is the parallelism unit — size
+    it so one bucket's (id, len) pairs fit one task's pass, the module's
+    standing partitioning assumption. Docs longer than ``capacity``
+    raise (chunk them first: `chunk_documents`).
+
+    Returns ``(id_col, bucket, bin)`` — global bin identity is the
+    (bucket, bin) pair.
+    """
+    import pandas as pd
+
+    from doppel_ray.functions.text import md5_token_hash64
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lens = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lens) and int(lens.max()) > capacity:
+            raise ValueError(
+                f"document longer than capacity {capacity}; chunk first"
+            )
+        h = md5_token_hash64(ids.astype(str)) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
+                "len": pa.array(lens, type=pa.int64()),
+                # "pk_bucket", not "bucket": bucketed_group_apply owns
+                # the latter name internally and would clobber it
+                "pk_bucket": pa.array(h.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    narrow = ds.select_columns([id_col, len_col]).map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = []
+        for b, sub in df.groupby("pk_bucket", sort=False):
+            sub = sub.sort_values(
+                ["len", id_col], ascending=[False, True]
+            )
+            bins = np.empty(len(sub), dtype=np.int64)
+            fill, cur = 0, 0
+            for i, ln in enumerate(sub["len"].to_numpy()):
+                if fill + ln > capacity:
+                    cur += 1
+                    fill = 0
+                bins[i] = cur
+                fill += ln
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(),
+                        "bucket": b,
+                        "bin": bins,
+                    }
+                )
+            )
+        if not out:
+            return pa.schema(
+                [(id_col, pa.int64()), ("bucket", pa.int64()), ("bin", pa.int64())]
+            ).empty_table()
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    return bucketed_group_apply(narrow, "pk_bucket", per_bucket)

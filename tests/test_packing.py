@@ -169,3 +169,76 @@ class TestPackTokenStream:
             """
         ).fetchall()
         assert got == [tuple(r) for r in want]
+
+
+import pandas as pd
+
+
+class TestPackBinsNFD:
+    @staticmethod
+    def _brute(df, capacity, num_buckets):
+        import hashlib
+
+        rows = []
+        for _, r in df.iterrows():
+            h = int.from_bytes(
+                hashlib.md5(str(int(r.doc_id)).encode()).digest()[:8],
+                "little",
+            )
+            rows.append((int(r.doc_id), int(r.L), h % num_buckets))
+        out = {}
+        import collections
+
+        byb = collections.defaultdict(list)
+        for d, ln, b in rows:
+            byb[b].append((d, ln))
+        for b, items in byb.items():
+            items.sort(key=lambda x: (-x[1], x[0]))
+            fill, cur = 0, 0
+            for d, ln in items:
+                if fill + ln > capacity:
+                    cur, fill = cur + 1, 0
+                out[d] = (b, cur)
+                fill += ln
+        return out
+
+    def test_matches_brute_and_bins_fit(self, ray_session):
+        from doppel_ray.stages.packing import pack_bins_nfd
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "L": rng.integers(10, 500, 300).astype(np.int64),
+            }
+        )
+        want = self._brute(df, 1000, 4)
+        for p in (1, 7):
+            got = pack_bins_nfd(
+                rd.from_pandas(df).repartition(p),
+                1000,
+                len_col="L",
+                num_buckets=4,
+            ).to_pandas()
+            assert {
+                int(r.doc_id): (int(r.bucket), int(r.bin))
+                for _, r in got.iterrows()
+            } == want
+        # every bin's total fits capacity
+        merged = got.merge(df, on="doc_id")
+        fills = merged.groupby(["bucket", "bin"])["L"].sum()
+        assert (fills <= 1000).all()
+
+    def test_oversize_and_validation(self, ray_session):
+        from doppel_ray.stages.packing import pack_bins_nfd
+
+        df = pd.DataFrame(
+            {"doc_id": np.array([1], dtype=np.int64),
+             "L": np.array([5000], dtype=np.int64)}
+        )
+        with pytest.raises(Exception, match="capacity"):
+            pack_bins_nfd(
+                rd.from_pandas(df), 1000, len_col="L"
+            ).to_pandas()
+        with pytest.raises(ValueError):
+            pack_bins_nfd(rd.from_pandas(df), 0, len_col="L")
