@@ -623,3 +623,98 @@ def segment_event_values(sf_dir: str):
             ]
         ),
     )
+
+
+@query(
+    "value_histogram",
+    # equi-width histogram over events.value: bin = floor(value / 50),
+    # ONE IEEE division + floor on both engines (exact rounding), then
+    # a narrow bounded groupby. Value-range audit before trusting a
+    # numeric column.
+    """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           count(*)::BIGINT AS n,
+           sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(sf_dir: str):
+    """Equi-width histogram of the events value column (the numeric
+    profile audit): per-batch vectorized binning + count/sum partials,
+    ONE narrow groupby bounded by the bin count."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(v / 50.0).astype(np.int64)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        import pandas as pd
+
+        g = pd.DataFrame({"bin": bins, "c": cents}).groupby(
+            "bin", sort=False
+        )["c"].agg(["size", "sum"])
+        return pa.table(
+            {
+                "bin": pa.array(g.index.to_numpy(), type=pa.int64()),
+                "pn": pa.array(
+                    g["size"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "pc": pa.array(
+                    g["sum"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("pn", alias_name="n"), Sum("pc", alias_name="value_cents")
+        )
+    )
+    return finalize(
+        agg,
+        pa.schema(
+            [("bin", pa.int64()), ("n", pa.int64()), ("value_cents", pa.int64())]
+        ),
+    )
+
+
+@query(
+    "daily_active_users",
+    # DAU: distinct users per UTC day — the engagement audit. The
+    # shuffle carries DISTINCT (day, user) pairs (combiner-first),
+    # never the event firehose.
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id)::BIGINT AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def daily_active_users(sf_dir: str):
+    """Distinct users per day via in-batch (day, user) dedupe partials
+    and ONE narrow two-key groupby + per-day pair count (the
+    sources_per_lang distinct-pair idiom on the event stream)."""
+    from ray.data.aggregate import Count
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.date32()
+        )
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .count()
+        .select_columns(["day", "user_id"])
+    )
+    agg = pairs.groupby("day").aggregate(Count(alias_name="dau"))
+    return finalize(
+        agg, pa.schema([("day", pa.date32()), ("dau", pa.int64())])
+    )
