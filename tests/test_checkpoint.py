@@ -179,3 +179,30 @@ class TestCurationJob:
         }
         assert counts3.get("blocked", 0) == 0
         assert sum(counts3.values()) == n_pages
+
+
+class TestSpanRemovalJob:
+    def test_resume_and_window_invalidation(self, corpus_dir, tmp_path):
+        root = str(tmp_path / "ck")
+        r1 = job.run_span_removal_job(corpus_dir, root, window=6)
+        assert r1.resumed_stages == []
+        assert set(r1.computed_stages) == {"removal_pairs", "rewritten_docs"}
+        docs1 = r1.docs.take_all()
+        n_docs = len(docs1)
+        assert n_docs > 0
+        removed1 = sum(r["n_removed"] for r in docs1)
+        # the synth corpus plants exact-dup families: removal is
+        # non-vacuous (every non-first family member loses its windows)
+        assert removed1 > 0
+
+        # identical rerun resumes both stages with identical output
+        r2 = job.run_span_removal_job(corpus_dir, root, window=6)
+        assert r2.computed_stages == []
+        assert set(r2.resumed_stages) == {"removal_pairs", "rewritten_docs"}
+        docs2 = {r["doc_id"]: r["text"] for r in r2.docs.take_all()}
+        assert docs2 == {r["doc_id"]: r["text"] for r in docs1}
+
+        # window change invalidates both stages
+        r3 = job.run_span_removal_job(corpus_dir, root, window=7)
+        assert set(r3.computed_stages) == {"removal_pairs", "rewritten_docs"}
+        assert len(r3.docs.take_all()) == n_docs
