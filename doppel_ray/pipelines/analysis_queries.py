@@ -2984,6 +2984,65 @@ def _pagerank_sql(num_iters: int = 3) -> str:
 
 
 @query(
+    "gopher_quality_flags",
+    # Gopher A1.1 document rules, all-integer comparisons on both
+    # engines (mean-word-length as 3n <= chars <= 10n). Non-vacuous at
+    # sf0.01: the word-count window splits 277/500, the stopword floor
+    # 224/500.
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^\t\n\f\r ]+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             coalesce((SELECT sum(length(t))
+                       FROM unnest(toks) AS u(t)), 0)::BIGINT
+               AS n_word_chars,
+             (SELECT count(*) FROM unnest(toks) AS u(t)
+                WHERE regexp_matches(t, '[A-Za-z]'))::BIGINT
+               AS n_alpha_words,
+             (SELECT count(*) FROM unnest(toks) AS u(t)
+                WHERE t IN ('the','be','to','of','and','that','have',
+                            'with'))::BIGINT AS n_stopwords
+      FROM w
+    )
+    SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stopwords,
+           (n_words BETWEEN 50 AND 100000
+            AND n_word_chars >= 3 * n_words
+            AND n_word_chars <= 10 * n_words
+            AND 10 * n_alpha_words >= 8 * n_words
+            AND n_stopwords >= 2) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_flags(sf_dir: str):
+    """The canonical Gopher document-quality rule set (Rae et al. 2021
+    A1.1; stages/textstats.py gopher_quality_flags): word-count and
+    mean-word-length windows, alphabetic-word fraction, stopword floor
+    — per-rule audit counts plus the combined keep flag, one vectorized
+    zero-shuffle pass."""
+    from doppel_ray.stages.textstats import gopher_quality_flags as G
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return finalize(
+        G(ds),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_words", pa.int64()),
+                ("n_word_chars", pa.int64()),
+                ("n_alpha_words", pa.int64()),
+                ("n_stopwords", pa.int64()),
+                ("keep", pa.bool_()),
+            ]
+        ),
+    )
+
+
+@query(
     "doc_bin_packing",
     # next-fit-decreasing inside md5 hash buckets: the recursive CTE
     # walks each bucket's (len DESC, doc_id) order exactly as the

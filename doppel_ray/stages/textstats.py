@@ -248,3 +248,89 @@ def add_compression_signal(
         ).append_column("comp_len", pa.array(comp, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+#: Gopher document-quality rule constants (Rae et al. 2021, A1.1) —
+#: shared with the SQL oracle; comparisons are kept ALL-INTEGER
+#: (3*n <= chars <= 10*n instead of a float mean) so flags hash-match
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL10 = 3   # mean word length >= 3  <=> chars >= 3*n
+GOPHER_MAX_MWL10 = 10  # mean word length <= 10 <=> chars <= 10*n
+GOPHER_ALPHA_NUM = 8   # >= 80% words contain an alphabetic char
+GOPHER_ALPHA_DEN = 10
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher document-level quality rules (Rae et al. 2021, A1.1 —
+    the canonical pre-training filter set; the repetition signals from
+    the same appendix live in `repetition_features`): word-count window,
+    mean-word-length window, alphabetic-word fraction, and a stopword
+    floor, each emitted as its own audit column plus the combined
+    ``keep``. One vectorized ``map_batches`` over the shared tokenizer —
+    zero shuffles, corpus-width independent; every comparison is integer
+    arithmetic so the flags are layout-invariant and SQL-recomputable.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from doppel_ray.stages.decontam import _flat_tokens
+
+    stop_set = pa.array(sorted(GOPHER_STOPWORDS), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        n = len(counts)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        seg = np.concatenate((starts, [int(counts.sum())]))
+
+        def seg_sum(vals: np.ndarray) -> np.ndarray:
+            out = np.zeros(n, dtype=np.int64)
+            if len(vals):
+                cs = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+                out = cs[seg[1:]] - cs[seg[:-1]]
+            return out
+
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        stop = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        n_words = counts.astype(np.int64)
+        n_chars = seg_sum(lens.astype(np.int64))
+        n_alpha = seg_sum(alpha.astype(np.int64))
+        n_stop = seg_sum(stop.astype(np.int64))
+
+        ok_words = (n_words >= GOPHER_MIN_WORDS) & (
+            n_words <= GOPHER_MAX_WORDS
+        )
+        ok_mwl = (n_chars >= GOPHER_MIN_MWL10 * n_words) & (
+            n_chars <= GOPHER_MAX_MWL10 * n_words
+        )
+        ok_alpha = GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * n_words
+        ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+        keep = ok_words & ok_mwl & ok_alpha & ok_stop
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_word_chars": pa.array(n_chars, type=pa.int64()),
+                "n_alpha_words": pa.array(n_alpha, type=pa.int64()),
+                "n_stopwords": pa.array(n_stop, type=pa.int64()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
