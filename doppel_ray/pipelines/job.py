@@ -271,18 +271,22 @@ def run_span_removal_job(
     window: int = 8,
 ) -> SpanRemovalJobResult:
     """Checkpointed substring-level dedup REMOVAL (Lee et al. 2022;
-    stages/tokenwindows.remove_dup_spans) over a page corpus:
+    stages/tokenwindows.remove_dup_spans) over a page corpus.
 
-        removal_pairs -> rewritten_docs
-
-    Stage 1 checkpoints the narrow ``(doc_id, pos)`` removal-pair
+    ONE stage checkpoints: the narrow ``(doc_id, pos)`` removal-pair
     relation (bounded by duplicated-token volume — megabytes at any
-    corpus size where the job is worth running); stage 2 re-streams the
-    corpus once and rewrites docs against the checkpointed pairs. A
-    rerun with identical input + window resumes both stages; changing
-    ``window`` invalidates both. doc_id = sip64(url) >> 1 (non-negative,
-    deterministic), so the first-occurrence tiebreak and the resume
-    fingerprint agree across runs.
+    corpus size where the job is worth running). The rewrite is NOT a
+    checkpoint stage — landing the full rewritten corpus would violate
+    this module's compact-artifacts-only contract ("the corpus never
+    lands twice") — it re-derives from the checkpointed pairs with one
+    streaming pass over the source, regime-switched exactly like
+    `remove_dup_spans` (broadcast below ``REBUILD_BROADCAST_LIMIT``
+    pairs, tagged-union bucketed doc-id join above). A rerun with
+    identical input + window resumes the pair stage and recomputes only
+    that cheap pass; changing ``window`` invalidates the pairs. doc_id =
+    sip64(url) >> 1 (non-negative, deterministic), so the
+    first-occurrence tiebreak and the resume fingerprint agree across
+    runs.
     """
     import numpy as np
 
@@ -308,70 +312,23 @@ def run_span_removal_job(
 
         return ds.map_batches(add, batch_format="pyarrow")
 
-    def build_pairs() -> Dataset:
-        surv = tw._dup_window_occurrences(
-            prepared(), window=window, text_col="text", id_col="doc_id",
-            bloom_limit=tw.BLOOM_PREFILTER_LIMIT,
-        )
+    pairs_res = ctx.run_stage(
+        "removal_pairs",
+        lambda: tw.removal_pairs(prepared(), window=window),
+        config=policy,
+    )
 
-        def per_bucket_pairs(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            g = df.groupby("win_text")["key"]
-            dup = (g.transform("size") > 1).to_numpy()
-            nonfirst = (df["key"] != g.transform("min")).to_numpy()
-            import numpy as _np
-
-            rem = df.loc[dup & nonfirst, "key"]
-            return pa.table(
-                {
-                    "doc_id": pa.array(
-                        rem.str.slice(0, 19).astype(_np.int64),
-                        type=pa.int64(),
-                    ),
-                    "pos": pa.array(
-                        rem.str.slice(20).astype(_np.int64), type=pa.int64()
-                    ),
-                }
-            )
-
-        return exact.bucketed_group_apply(
-            surv, "win_text", per_bucket_pairs, materialize_input=True
-        )
-
-    pairs_res = ctx.run_stage("removal_pairs", build_pairs, config=policy)
-
-    def rewrite() -> Dataset:
-        import ray
-
-        from doppel_ray.stages.util import collect_table
-
-        t = collect_table(
-            pairs_res.dataset,
-            schema=pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]),
-        )
-        import numpy as np
-
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        p = t["pos"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, d))
-        ref = ray.put((d[order], p[order]))
-
-        def rebuild(batch: pa.Table) -> pa.Table:
-            from doppel_ray.stages.util import cached_get
-
-            pd_, pp_ = cached_get(ref)
-            return tw._rebuild_docs(
-                batch, pd_, pp_, window, "text", "doc_id"
-            )
-
-        return prepared().map_batches(rebuild, batch_format="pyarrow")
-
-    docs_res = ctx.run_stage("rewritten_docs", rewrite, config=policy)
+    docs = tw.rebuild_from_pairs(
+        prepared(),
+        pairs_res.dataset,
+        window=window,
+        n_pairs=pairs_res.rows,
+    )
     resumed = [s.name for s in ctx.stages if s.resumed]
     computed = [s.name for s in ctx.stages if not s.resumed]
     return SpanRemovalJobResult(
         pairs=pairs_res.dataset,
-        docs=docs_res.dataset,
+        docs=docs,
         ctx=ctx,
         resumed_stages=resumed,
         computed_stages=computed,

@@ -142,11 +142,11 @@ def skew_join(
     if hot_threshold < 1:
         raise ValueError("hot_threshold must be >= 1")
 
-    key_t = None  # resolved from the first counts batch
-
     def count_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by([on]).aggregate([([], "count_all")])
-        return g.rename_columns([on, "c"])
+        # select by NAME (pyarrow emits the count as "count_all"), not by
+        # position — keys-first output order is not a stable contract
+        return g.select([on, "count_all"]).rename_columns([on, "c"])
 
     def per_bucket_hot(t: pa.Table) -> pa.Table:
         import pandas as pd

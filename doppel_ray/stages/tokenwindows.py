@@ -209,35 +209,86 @@ def remove_dup_spans(
        ``id_col`` co-locates each doc with its pairs (payload shuffles
        once; the pair side is narrow).
     """
+    pairs = removal_pairs(
+        ds, window=window, text_col=text_col, id_col=id_col,
+        bloom_limit=bloom_limit, num_buckets=num_buckets,
+    ).materialize()
+    return rebuild_from_pairs(
+        ds, pairs, window=window, text_col=text_col, id_col=id_col,
+        broadcast_limit=broadcast_limit, num_buckets=num_buckets,
+        n_pairs=pairs.count(),
+    )
+
+
+def removal_pairs(
+    ds: Dataset,
+    *,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_limit: int = BLOOM_PREFILTER_LIMIT,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Narrow ``(doc_id, pos)`` removal-pair relation: every non-first
+    occurrence of a duplicated n-token window (string-verified, so hash
+    collisions cannot mark a span). Bounded by duplicated-token volume,
+    never the corpus — the checkpointable artifact of span removal
+    (pipelines/job.run_span_removal_job stage 1)."""
     survivors = _dup_window_occurrences(
         ds, window=window, text_col=text_col, id_col=id_col,
         bloom_limit=bloom_limit,
     )
-
-    def per_bucket_pairs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("win_text")["key"]
-        dup = (g.transform("size") > 1).to_numpy()
-        nonfirst = (df["key"] != g.transform("min")).to_numpy()
-        rem = df.loc[dup & nonfirst, "key"]
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    rem.str.slice(0, 19).astype(np.int64), type=pa.int64()
-                ),
-                "pos": pa.array(
-                    rem.str.slice(20).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
-
     from doppel_ray.stages.exact import bucketed_group_apply
 
-    pairs = bucketed_group_apply(
-        survivors, "win_text", per_bucket_pairs,
+    return bucketed_group_apply(
+        survivors, "win_text", _per_bucket_removal_pairs,
         num_buckets=num_buckets, materialize_input=True,
-    ).materialize()
-    n_pairs = pairs.count()
+    )
+
+
+def _per_bucket_removal_pairs(t: pa.Table) -> pa.Table:
+    """Within one win_text bucket: string-verify (count > 1) and emit the
+    non-first occurrences as decoded ``(doc_id, pos)`` int64 pairs."""
+    df = t.to_pandas()
+    g = df.groupby("win_text")["key"]
+    dup = (g.transform("size") > 1).to_numpy()
+    nonfirst = (df["key"] != g.transform("min")).to_numpy()
+    rem = df.loc[dup & nonfirst, "key"]
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                rem.str.slice(0, 19).astype(np.int64), type=pa.int64()
+            ),
+            "pos": pa.array(
+                rem.str.slice(20).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def rebuild_from_pairs(
+    ds: Dataset,
+    pairs: Dataset,
+    *,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = REBUILD_BROADCAST_LIMIT,
+    num_buckets: int = 64,
+    n_pairs: int | None = None,
+) -> Dataset:
+    """Rewrite docs against a ``(doc_id, pos)`` removal-pair relation —
+    the regime-switched rebuild shared by `remove_dup_spans` and the
+    checkpointed job (which resumes ``pairs`` from Parquet): below
+    ``broadcast_limit`` pairs the sorted arrays broadcast once, above it
+    a tagged-union bucketed join on ``id_col`` co-locates each doc with
+    its pairs (payload shuffles once; the pair side is narrow). Pass
+    ``n_pairs`` when already known (e.g. a checkpoint manifest row
+    count) to skip the count."""
+    from doppel_ray.stages.exact import bucketed_group_apply
+
+    if n_pairs is None:
+        n_pairs = pairs.count()
 
     docs = ds.select_columns([id_col, text_col])
 
@@ -337,8 +388,9 @@ def _rebuild_docs(
             [np.arange(lo[r], hi[r]) for r in affected]
         )
         rel = pair_pos[take]
-        if rel.min() < 0 or np.any(rel + window > counts[rows]):
-            bad = rows[np.argmax(rel + window > counts[rows])]
+        out_of_range = (rel < 0) | (rel + window > counts[rows])
+        if np.any(out_of_range):
+            bad = rows[np.argmax(out_of_range)]
             raise ValueError(
                 f"removal window out of range for doc {ids[bad]} "
                 "(tokenization mismatch between passes)"

@@ -186,7 +186,9 @@ class TestSpanRemovalJob:
         root = str(tmp_path / "ck")
         r1 = job.run_span_removal_job(corpus_dir, root, window=6)
         assert r1.resumed_stages == []
-        assert set(r1.computed_stages) == {"removal_pairs", "rewritten_docs"}
+        # only the compact pair relation checkpoints; the rewrite
+        # re-derives from it (compact-artifacts-only contract)
+        assert r1.computed_stages == ["removal_pairs"]
         docs1 = r1.docs.take_all()
         n_docs = len(docs1)
         assert n_docs > 0
@@ -195,14 +197,15 @@ class TestSpanRemovalJob:
         # non-vacuous (every non-first family member loses its windows)
         assert removed1 > 0
 
-        # identical rerun resumes both stages with identical output
+        # identical rerun resumes the pair stage; the recomputed rewrite
+        # is identical
         r2 = job.run_span_removal_job(corpus_dir, root, window=6)
         assert r2.computed_stages == []
-        assert set(r2.resumed_stages) == {"removal_pairs", "rewritten_docs"}
+        assert r2.resumed_stages == ["removal_pairs"]
         docs2 = {r["doc_id"]: r["text"] for r in r2.docs.take_all()}
         assert docs2 == {r["doc_id"]: r["text"] for r in docs1}
 
-        # window change invalidates both stages
+        # window change invalidates the pair stage
         r3 = job.run_span_removal_job(corpus_dir, root, window=7)
-        assert set(r3.computed_stages) == {"removal_pairs", "rewritten_docs"}
+        assert r3.computed_stages == ["removal_pairs"]
         assert len(r3.docs.take_all()) == n_docs
