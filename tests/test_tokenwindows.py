@@ -199,6 +199,38 @@ class TestRemoveDupSpans:
         assert got.loc[2, "text"] == ""
         assert got["n_removed"].sum() == 0
 
+    def test_string_verify_identical(self, ray_session):
+        # the exact string-verify path and the default 128-bit hash-pair
+        # path agree end-to-end (and the brute-force tests above pin the
+        # default path independently); the pair RELATIONS agree as sets
+        from doppel_ray.stages.tokenwindows import removal_pairs
+
+        df = _corpus(seed=29, n=80)
+        pd.testing.assert_frame_equal(
+            self._run(df, 5), self._run(df, 5, verify="string")
+        )
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = {
+            v: set(
+                map(
+                    tuple,
+                    removal_pairs(ds, window=5, verify=v)
+                    .to_pandas()
+                    .values.tolist(),
+                )
+            )
+            for v in ("hash128", "string")
+        }
+        assert got["hash128"] == got["string"] and len(got["string"]) > 0
+
+    def test_bad_verify_rejected(self, ray_session):
+        from doppel_ray.stages.tokenwindows import removal_pairs
+
+        with pytest.raises(ValueError, match="verify"):
+            removal_pairs(
+                ray.data.from_pandas(_corpus(n=5)), window=3, verify="md5"
+            )
+
     def test_layout_invariance(self, ray_session):
         from doppel_ray.stages.tokenwindows import remove_dup_spans
 
