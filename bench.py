@@ -321,13 +321,15 @@ def _query_specs(limit: int | None = None) -> dict:
             }
         )
     else:
-        # scaling legs cover FOUR operator families with distinct
+        # scaling legs cover FIVE operator families with distinct
         # shuffle/broadcast profiles (VERDICT r3 #6): exact (key-only
         # count shuffle), minhash (banded all-to-all), simhash
         # (pigeonhole-block shuffle + popcount verify), decontam
-        # (broadcast gram set, zero shuffles)
+        # (broadcast gram set, zero shuffles), span removal (two-pass
+        # hash prefilter + narrow int64 pair shuffle + bucketed rebuild)
         specs["simhash_pages"] = q_simhash_pages
         specs["decontam_pages"] = q_decontam_pages
+        specs["spanrm_pages"] = q_spanrm_pages
     specs["exact_pages"] = q_exact_pages
     specs["near_pages"] = q_near_pages
     return specs
@@ -468,7 +470,7 @@ def _query_specs_names() -> list[str]:
             "spanrm_pages",
         ]
     else:
-        names += ["simhash_pages", "decontam_pages"]
+        names += ["simhash_pages", "decontam_pages", "spanrm_pages"]
     return names + ["exact_pages", "near_pages"]
 
 

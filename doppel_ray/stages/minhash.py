@@ -164,6 +164,65 @@ class MinHashConfig:
         return self.verify_mode == "exact" or self.threshold >= 1.0
 
 
+def lsh_candidate_probability(
+    s: float | np.ndarray, bands: int, rows: int
+) -> float | np.ndarray:
+    """P[a pair with Jaccard ``s`` shares >= 1 LSH band] for a banded
+    signature with ``bands`` bands of ``rows`` rows: 1 - (1 - s^r)^b
+    (the S-curve; Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets, ch. 3.4)."""
+    s = np.asarray(s, dtype=np.float64)
+    out = -np.expm1(bands * np.log1p(-(s**rows)))
+    return float(out) if out.ndim == 0 else out
+
+
+def tune_bands(
+    threshold: float,
+    num_perm: int = 128,
+    *,
+    min_recall: float = 0.99,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows)`` for a target Jaccard ``threshold``: among
+    the divisor splits of ``num_perm``, keep those whose CANDIDATE
+    recall at s = threshold is >= ``min_recall`` (verification is exact
+    Jaccard downstream, so banding recall is the only loss term), and of
+    those return the one minimizing the expected false-candidate mass
+    ``integral_0^threshold P(s) ds`` under a uniform similarity prior —
+    i.e. the cheapest-to-verify configuration that still meets the
+    recall floor. Falls back to the highest-recall split if none meets
+    the floor (tiny num_perm), so callers always get a usable config.
+
+    >>> tune_bands(0.8, 128)[0] * tune_bands(0.8, 128)[1] == 128
+    True
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    splits = [
+        (b, num_perm // b)
+        for b in range(1, num_perm + 1)
+        if num_perm % b == 0 and num_perm // b >= 1
+    ]
+    grid = np.linspace(0.0, threshold, 513)
+    best = None  # (fp_mass, -recall, bands, rows)
+    fallback = None  # (-recall, bands, rows)
+    for b, r in splits:
+        recall = float(lsh_candidate_probability(threshold, b, r))
+        fp_mass = float(
+            np.trapz(lsh_candidate_probability(grid, b, r), grid)
+        )
+        if fallback is None or -recall < fallback[0]:
+            fallback = (-recall, b, r)
+        if recall >= min_recall and (
+            best is None or (fp_mass, -recall) < (best[0], best[1])
+        ):
+            best = (fp_mass, -recall, b, r)
+    if best is not None:
+        return best[2], best[3]
+    return fallback[1], fallback[2]
+
+
 @functools.lru_cache(maxsize=8)
 def _perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-worker-process cached permutation parameters (1 KiB of state)."""

@@ -575,3 +575,43 @@ class TestDedupeCollectRegime:
         s1 = {(r["url_a"], r["url_b"], round(r["similarity"], 9)) for r in e1}
         s2 = {(r["url_a"], r["url_b"], round(r["similarity"], 9)) for r in e2}
         assert s1 == s2 and len(e2) == len(s2)
+
+
+class TestBandTuner:
+    def test_s_curve_matches_monte_carlo(self):
+        """1-(1-s^r)^b vs direct simulation of banded-collision events."""
+        rng = np.random.default_rng(3)
+        b, r, s = 8, 4, 0.7
+        trials = 20000
+        # each of b*r rows agrees independently with prob s
+        agree = rng.random((trials, b, r)) < s
+        hit = agree.all(axis=2).any(axis=1).mean()
+        assert abs(minhash.lsh_candidate_probability(s, b, r) - hit) < 0.01
+
+    def test_default_config_is_tuned_for_its_threshold(self):
+        # the repo default (128 perms, tau=0.8) should be what the tuner
+        # picks — 32 bands x 4 rows
+        assert minhash.tune_bands(0.8, 128) == (32, 4)
+
+    def test_higher_threshold_prefers_longer_rows(self):
+        b_lo, r_lo = minhash.tune_bands(0.5, 128)
+        b_hi, r_hi = minhash.tune_bands(0.95, 128)
+        assert r_hi >= r_lo and b_hi <= b_lo
+
+    def test_recall_floor_met_and_product_exact(self):
+        for t in (0.3, 0.6, 0.8, 0.9):
+            b, r = minhash.tune_bands(t, 256)
+            assert b * r == 256
+            assert minhash.lsh_candidate_probability(t, b, r) >= 0.99
+
+    def test_fallback_when_floor_unreachable(self):
+        # num_perm=2 can't hit 0.99 recall at tau=0.9: falls back to the
+        # highest-recall split instead of failing
+        b, r = minhash.tune_bands(0.9, 2, min_recall=0.99)
+        assert b * r == 2
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            minhash.tune_bands(1.0, 128)
+        with pytest.raises(ValueError):
+            minhash.tune_bands(0.8, 1)
