@@ -153,6 +153,16 @@ class MinHashConfig:
     # only); explicit True forces it.
     pair_complete: bool | None = None
 
+    @classmethod
+    def tuned(cls, threshold: float, num_perm: int = 128, **kw) -> "MinHashConfig":
+        """Config with ``bands`` auto-chosen for ``threshold`` by
+        `tune_bands` (S-curve recall floor + minimal expected
+        false-candidate mass). Any other field passes through ``kw``."""
+        bands, _ = tune_bands(threshold, num_perm)
+        return cls(
+            num_perm=num_perm, bands=bands, threshold=threshold, **kw
+        )
+
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.bands

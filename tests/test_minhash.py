@@ -615,3 +615,10 @@ class TestBandTuner:
             minhash.tune_bands(1.0, 128)
         with pytest.raises(ValueError):
             minhash.tune_bands(0.8, 1)
+
+    def test_tuned_config_constructor(self):
+        cfg = minhash.MinHashConfig.tuned(0.8, 128, band_cap=32)
+        assert (cfg.bands, cfg.rows_per_band) == (32, 4)
+        assert cfg.threshold == 0.8 and cfg.band_cap == 32
+        cfg9 = minhash.MinHashConfig.tuned(0.9, 128)
+        assert cfg9.bands * cfg9.rows_per_band == 128
