@@ -209,3 +209,40 @@ class TestSpanRemovalJob:
         r3 = job.run_span_removal_job(corpus_dir, root, window=7)
         assert r3.computed_stages == ["removal_pairs"]
         assert len(r3.docs.take_all()) == n_docs
+
+    def test_zero_duplicate_corpus(self, tmp_path):
+        # all-unique corpus: the pair relation is EMPTY — the empty
+        # checkpoint must round-trip through Parquet and the rebuild
+        # must pass every doc through (ws-normalized) on run and resume
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        corpus = str(tmp_path / "uniq")
+        import os
+
+        os.makedirs(corpus)
+        rows = []
+        for i in range(30):
+            rows.append(
+                {
+                    "url": f"https://u{i}.example/p",
+                    "warc_ts": pd.Timestamp("2025-01-01"),
+                    "html": b"",
+                    "text": " ".join(f"t{i}_{j}" for j in range(20)),
+                    "lang": "en",
+                }
+            )
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows)),
+            os.path.join(corpus, "p.parquet"),
+        )
+        root = str(tmp_path / "ck0")
+        r1 = job.run_span_removal_job(corpus, root, window=6)
+        d1 = r1.docs.to_pandas()
+        assert r1.pairs.count() == 0
+        assert len(d1) == 30 and int(d1["n_removed"].sum()) == 0
+        r2 = job.run_span_removal_job(corpus, root, window=6)
+        assert r2.resumed_stages == ["removal_pairs"]
+        d2 = r2.docs.to_pandas()
+        assert len(d2) == 30 and int(d2["n_removed"].sum()) == 0
