@@ -671,9 +671,35 @@ def cpu_probe() -> dict:
     }
 
 
+def run_recall() -> dict:
+    """Bench-scale dup-pair recall audit (north-rule criterion >= 0.99)
+    against the generator's planted family ground truth — see
+    doppel_ray/pipelines/recall_audit.py for the metric definition
+    (cluster-assignment recall; precision 1.0 by construction). Sized
+    by BENCH_DOCS like the throughput legs."""
+    _init_ray()
+    import ray
+
+    from doppel_ray import synth
+    from doppel_ray.pipelines.recall_audit import cluster_recall
+
+    table, fam = synth.generate_bench_corpus(
+        BENCH_DOCS, seed=42, return_families=True
+    )
+    t0 = time.monotonic()
+    out = cluster_recall(table, fam)
+    out["metric"] = "cluster-assignment dup-pair recall vs planted truth"
+    out["wall_s"] = round(time.monotonic() - t0, 3)
+    out["num_cpus"] = NUM_CPUS
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--cpu-probe" in sys.argv:
         print(json.dumps(cpu_probe()))
+    elif "--recall" in sys.argv:
+        print(json.dumps(run_recall()))
     elif "--one" in sys.argv:
         name = sys.argv[sys.argv.index("--one") + 1]
         print(json.dumps(run_one(name)))

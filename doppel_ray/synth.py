@@ -220,10 +220,22 @@ def _bench_vocab(rng: np.random.Generator, n_words: int = 4000) -> np.ndarray:
 
 
 def generate_bench_corpus(n_docs: int, seed: int = 42, dup_frac: float = 0.3,
-                          near_frac: float = 0.1, doc_words: int = 120) -> pa.Table:
+                          near_frac: float = 0.1, doc_words: int = 120,
+                          return_families: bool = False):
     """Large flat corpus for throughput benchmarks: ``dup_frac`` of rows are
     exact copies of earlier rows, ``near_frac`` are near-duplicates, rest
     unique. Vectorized generation so sf_bench (~200k docs) builds in seconds.
+
+    ``return_families=True`` additionally returns the planted ground
+    truth as an int64 array aligned with the output rows: row i belongs
+    to family ``families[i]`` (the index of the base doc it was derived
+    from; unique docs are their own singleton family). Derivations are
+    exact copies (Jaccard 1.0) or one-word substitutions (char-shingle
+    Jaccard ~0.97 at the default 120 words), so within-family pairs are
+    the corpus's qualifying near-dup relation at tau <= ~0.95 — the
+    truth set for the bench-scale recall audit (`bench.py --recall`).
+    The RNG stream is unchanged either way: the corpus is bit-identical
+    to the ``return_families=False`` output for the same arguments.
     """
     rng = np.random.default_rng(seed)
     n_base = int(n_docs * (1 - dup_frac - near_frac))
@@ -245,13 +257,17 @@ def generate_bench_corpus(n_docs: int, seed: int = 42, dup_frac: float = 0.3,
         texts.append(" ".join(parts))
     n = len(texts)
     perm = rng.permutation(n)
+    fam = np.concatenate(
+        [np.arange(n_base, dtype=np.int64), src.astype(np.int64),
+         src_n.astype(np.int64)]
+    )[perm]
     texts = [texts[i] for i in perm]
     urls = [f"https://bench.example/{i}" for i in range(n)]
     ts = pa.array(BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000_000,
                   type=pa.timestamp("us"))
     langs = pa.array(np.array(_LANGS)[rng.integers(0, len(_LANGS), size=n)])
     html = [b""] * n  # html payload irrelevant for throughput of text dedup
-    return pa.table(
+    table = pa.table(
         {
             "url": pa.array(urls),
             "warc_ts": ts,
@@ -260,6 +276,9 @@ def generate_bench_corpus(n_docs: int, seed: int = 42, dup_frac: float = 0.3,
             "lang": langs,
         }
     )
+    if return_families:
+        return table, fam
+    return table
 
 
 def write_corpus(table: pa.Table, out_dir: str, n_files: int = 8) -> list[str]:
