@@ -119,10 +119,16 @@ def tiered_dedup(
     # tier 3: near — components over ALL docs (see module docstring for
     # why that equals components over survivors); broadcast drop set.
     def as_pages(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        return pa.table(
-            {"url": pa.array([f"{i:012d}" for i in ids]), "text": batch[text_col]}
+        import pyarrow.compute as pc
+
+        # zero-padded decimal ids as the near tier's url key — Arrow
+        # cast + lpad (this map re-executes on every pass near_dup_edges
+        # makes over its input, so a per-row Python f-string loop here
+        # was multiplied by the KMV/prune/sign/verify scans)
+        ids = pc.utf8_lpad(
+            pc.cast(batch[id_col], pa.string()), width=12, padding="0"
         )
+        return pa.table({"url": ids, "text": batch[text_col]})
 
     pages = ds.select_columns([id_col, text_col]).map_batches(
         as_pages, batch_format="pyarrow"
