@@ -588,7 +588,10 @@ def scaling_report() -> dict:
         key = f"{q}@{SF_DIR}|docs={docs}|cpus={cpus}|scale=1"
         return minima.get(key, {}).get("sec")
 
-    names = ["simhash_pages", "decontam_pages", "exact_pages", "near_pages"]
+    names = [
+        "simhash_pages", "decontam_pages", "spanrm_pages",
+        "exact_pages", "near_pages",
+    ]
     q_lo = {q: leg(q, lo, SCALING_DOCS) for q in names}
     q_hi = {q: leg(q, hi, SCALING_DOCS) for q in names}
     have = [q for q in names if q_lo[q] and q_hi[q]]
